@@ -1,0 +1,238 @@
+"""Test fixture: a miniature AV1 bitstream builder.
+
+Composes spec-valid sequence/frame OBUs bit by bit so parser tests can
+assert exact consumption and round-trip behavior without external
+encoders (same role as the reference's BitBuilder fixtures,
+frame.rs:2018-2117, but able to emit whole temporal units / IVF files).
+
+The emitted streams use a deliberately minimal feature profile:
+profile 0, no order hints, no superres/cdef/restoration, single tile.
+Frames carry dummy tile payloads — header parsers never descend into
+tile data, and fixture streams are additionally validated against real
+encoder output in the shim-backed tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from grav1synth_tpu.bitio import BitWriter, leb128_encode
+from grav1synth_tpu.container.ivf import IvfHeader, IvfPacket
+from grav1synth_tpu.obu.grain import write_film_grain_params
+from grav1synth_tpu.obu.types import ColorConfig, FilmGrainParams, FrameType
+
+
+@dataclass
+class MiniSeqConfig:
+    width: int = 64
+    height: int = 64
+    film_grain_params_present: bool = False
+    bit_depth: int = 8
+    monochrome: bool = False
+
+
+def build_obu(obu_type: int, payload: bytes) -> bytes:
+    """Wrap a payload with an OBU header + leb128 size."""
+    header = bytes([(obu_type << 3) | 0x02])  # has_size_field=1
+    return header + leb128_encode(len(payload)) + payload
+
+
+def build_temporal_delimiter() -> bytes:
+    return build_obu(2, b"")
+
+
+def build_sequence_header(cfg: MiniSeqConfig) -> bytes:
+    w = BitWriter()
+    profile = 0 if cfg.bit_depth == 8 or cfg.bit_depth == 10 else 2
+    w.put(profile, 3)  # seq_profile
+    w.put(0, 1)  # still_picture
+    w.put(0, 1)  # reduced_still_picture_header
+    w.put(0, 1)  # timing_info_present_flag
+    w.put(0, 1)  # initial_display_delay_present_flag
+    w.put(0, 5)  # operating_points_cnt_minus_1
+    w.put(0, 12)  # operating_point_idc[0]
+    w.put(0, 5)  # seq_level_idx[0]  (<=7: no seq_tier)
+    w.put(15, 4)  # frame_width_bits_minus_1
+    w.put(15, 4)  # frame_height_bits_minus_1
+    w.put(cfg.width - 1, 16)  # max_frame_width_minus_1
+    w.put(cfg.height - 1, 16)  # max_frame_height_minus_1
+    w.put(0, 1)  # frame_id_numbers_present_flag
+    w.put(1, 1)  # use_128x128_superblock
+    w.put(0, 1)  # enable_filter_intra
+    w.put(0, 1)  # enable_intra_edge_filter
+    w.put(0, 1)  # enable_interintra_compound
+    w.put(0, 1)  # enable_masked_compound
+    w.put(0, 1)  # enable_warped_motion
+    w.put(0, 1)  # enable_dual_filter
+    w.put(0, 1)  # enable_order_hint
+    w.put(0, 1)  # seq_choose_screen_content_tools
+    w.put(0, 1)  # seq_force_screen_content_tools = 0
+    # force_integer_mv not coded (force_screen_content_tools == 0)
+    w.put(0, 1)  # enable_superres
+    w.put(0, 1)  # enable_cdef
+    w.put(0, 1)  # enable_restoration
+    # color_config
+    w.put(1 if cfg.bit_depth > 8 else 0, 1)  # high_bitdepth
+    w.put(1 if cfg.monochrome else 0, 1)  # mono_chrome
+    w.put(0, 1)  # color_description_present_flag
+    if cfg.monochrome:
+        w.put(0, 1)  # color_range
+    else:
+        w.put(0, 1)  # color_range
+        # profile 0 -> 4:2:0, chroma_sample_position coded
+        w.put(0, 2)  # chroma_sample_position
+        w.put(0, 1)  # separate_uv_delta_q
+    w.put(1 if cfg.film_grain_params_present else 0, 1)
+    w.align_trailing_bits()
+    return build_obu(1, w.getvalue())
+
+
+def _color_config_of(cfg: MiniSeqConfig) -> ColorConfig:
+    return ColorConfig(
+        bit_depth=cfg.bit_depth,
+        num_planes=1 if cfg.monochrome else 3,
+        subsampling=(1, 1),
+    )
+
+
+def build_frame(
+    cfg: MiniSeqConfig,
+    frame_type: FrameType,
+    grain: Optional[FilmGrainParams] = None,
+    grain_disabled_bit: bool = False,
+    tile_payload: bytes = b"\x00\x01\x02\x03",
+    show_frame: bool = True,
+) -> bytes:
+    """Build a Frame OBU (header + single tile group).
+
+    ``grain``/``grain_disabled_bit`` control the grain syntax: params,
+    an explicit apply_grain=0 bit, or (both unset) no grain syntax —
+    which is only valid when cfg.film_grain_params_present is False.
+    """
+    w = BitWriter()
+    w.put(0, 1)  # show_existing_frame
+    w.put(int(frame_type), 2)
+    w.put(1 if show_frame else 0, 1)
+    if not show_frame:
+        w.put(1, 1)  # showable_frame
+    if not (
+        frame_type == FrameType.SWITCH
+        or (frame_type == FrameType.KEY and show_frame)
+    ):
+        w.put(0, 1)  # error_resilient_mode
+    w.put(1, 1)  # disable_cdf_update
+    # allow_screen_content_tools not coded (seq forces 0)
+    # current_frame_id not coded
+    w.put(0, 1)  # frame_size_override_flag
+    # order_hint: 0 bits
+    if not frame_type.is_intra:
+        w.put(0, 3)  # primary_ref_frame
+    if not (
+        frame_type == FrameType.SWITCH
+        or (frame_type == FrameType.KEY and show_frame)
+    ):
+        w.put(1, 8)  # refresh_frame_flags
+    if frame_type.is_intra:
+        # frame_size: no bits (no override, no superres)
+        w.put(0, 1)  # render_and_frame_size_different
+    else:
+        # enable_order_hint=0: no frame_refs_short_signaling bit
+        for _ in range(7):
+            w.put(0, 3)  # ref_frame_idx[i]
+        w.put(0, 1)  # render_and_frame_size_different
+        w.put(0, 1)  # allow_high_precision_mv (force_integer_mv == 0)
+        w.put(1, 1)  # is_filter_switchable
+        w.put(0, 1)  # is_motion_mode_switchable
+        # use_ref_frame_mvs not coded (enable_ref_frame_mvs=0)
+    # disable_frame_end_update_cdf not coded (disable_cdf_update=1)
+    w.put(1, 1)  # uniform_tile_spacing_flag (single sb -> no more bits)
+    w.put(100, 8)  # base_q_idx
+    w.put(0, 1)  # delta_q_y_dc coded=0
+    if not cfg.monochrome:
+        w.put(0, 1)  # delta_q_u_dc
+        w.put(0, 1)  # delta_q_u_ac
+    w.put(0, 1)  # using_qmatrix
+    w.put(0, 1)  # segmentation_enabled
+    w.put(0, 1)  # delta_q_present
+    # loop filter
+    w.put(0, 6)  # level[0]
+    w.put(0, 6)  # level[1]
+    # levels are 0: no level[2]/[3]
+    w.put(0, 3)  # sharpness
+    w.put(0, 1)  # loop_filter_delta_enabled
+    # cdef/lr: disabled at sequence level
+    w.put(0, 1)  # tx_mode_select
+    if not frame_type.is_intra:
+        w.put(0, 1)  # reference_select
+    # skip mode not allowed; allow_warped not coded
+    w.put(0, 1)  # reduced_tx_set
+    if not frame_type.is_intra:
+        for _ in range(7):
+            w.put(0, 1)  # is_global[ref]
+    # film grain
+    if grain is not None:
+        assert cfg.film_grain_params_present
+        write_film_grain_params(w, grain, frame_type, _color_config_of(cfg))
+    elif grain_disabled_bit:
+        assert cfg.film_grain_params_present
+        w.put(0, 1)  # apply_grain = 0
+    w.byte_align(0)
+    payload = w.getvalue() + tile_payload
+    return build_obu(6, payload)
+
+
+def sample_grain_params(seed: int = 7391) -> FilmGrainParams:
+    """A representative parameter set exercising luma+chroma, lag 2."""
+    p = FilmGrainParams(
+        grain_seed=seed,
+        scaling_points_y=[(0, 20), (40, 35), (120, 30), (255, 25)],
+        scaling_points_cb=[(0, 10), (255, 12)],
+        scaling_points_cr=[(0, 8), (128, 16)],
+        scaling_shift=8,
+        ar_coeff_lag=2,
+        ar_coeffs_y=[3, -2, 5, 1, -7, 4, 2, -1, 6, 0, -3, 2],
+        ar_coeffs_cb=[1, 0, -1, 2, 3, -2, 1, 0, -4, 2, 1, -1, 5],
+        ar_coeffs_cr=[-2, 1, 0, -1, 2, 1, -3, 2, 0, 1, -2, 3, -6],
+        ar_coeff_shift=6,
+        cb_mult=128,
+        cb_luma_mult=192,
+        cb_offset=256,
+        cr_mult=130,
+        cr_luma_mult=190,
+        cr_offset=250,
+        chroma_scaling_from_luma=False,
+        grain_scale_shift=0,
+        overlap_flag=True,
+        clip_to_restricted_range=False,
+    )
+    return p
+
+
+def build_stream(
+    cfg: MiniSeqConfig,
+    frames: List[dict],
+) -> List[IvfPacket]:
+    """Build one packet per frame; the first packet carries the sequence
+    header. ``frames`` entries are kwargs for build_frame plus
+    'frame_type'."""
+    packets = []
+    for i, fr in enumerate(frames):
+        fr = dict(fr)
+        frame_type = fr.pop("frame_type", FrameType.KEY if i == 0 else FrameType.INTER)
+        data = build_temporal_delimiter()
+        if i == 0:
+            data += build_sequence_header(cfg)
+        data += build_frame(cfg, frame_type, **fr)
+        packets.append(IvfPacket(pts=i, data=data))
+    return packets
+
+
+def default_ivf_header(cfg: MiniSeqConfig, nframes: int) -> IvfHeader:
+    return IvfHeader(
+        width=cfg.width,
+        height=cfg.height,
+        timebase_den=30,
+        timebase_num=1,
+        frame_count=nframes,
+    )
