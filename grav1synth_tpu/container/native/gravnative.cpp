@@ -1,0 +1,471 @@
+// gravnative: native container/codec shim for grav1synth-tpu.
+//
+// C++ layer over libavformat/libavcodec/libavutil providing the roles the
+// reference fills with FFmpeg FFI (grav1synth src/reader.rs:37-212 demux +
+// decode, src/parser.rs:189-422 remux) plus two roles the reference does
+// not have: a libaom encoder for self-generated test fixtures and a
+// dav1d decoder with film-grain toggling, which serves as the
+// bit-exactness oracle for the TPU grain-synthesis kernels.
+//
+// Exposed as a flat C API loaded from Python via ctypes.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/dict.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
+}
+
+namespace {
+
+void set_err(char* err, int errlen, const std::string& msg) {
+    if (err && errlen > 0) {
+        std::snprintf(err, (size_t)errlen, "%s", msg.c_str());
+    }
+}
+
+void set_averr(char* err, int errlen, const char* what, int code) {
+    char buf[128];
+    av_strerror(code, buf, sizeof(buf));
+    set_err(err, errlen, std::string(what) + ": " + buf);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Shared plain-C structs (mirrored in ctypes)
+
+typedef struct GravStreamInfo {
+    int32_t index;
+    int32_t codec_type;   // AVMediaType
+    int32_t codec_id;     // AVCodecID
+    int32_t width, height;
+    int32_t bit_depth;    // luma bit depth (video only)
+    int32_t subsampling_x, subsampling_y;
+    int32_t time_base_num, time_base_den;
+    int32_t frame_rate_num, frame_rate_den;
+    int32_t color_range;  // AVColorRange
+    int32_t color_trc;    // AVColorTransferCharacteristic
+    int64_t nb_frames;    // container-reported; 0 when unknown
+} GravStreamInfo;
+
+typedef struct GravPacketView {
+    const uint8_t* data;
+    int32_t size;
+    int32_t stream_index;
+    int64_t pts, dts, duration;
+    int32_t flags;
+} GravPacketView;
+
+typedef struct GravFrameView {
+    const uint8_t* data[3];
+    int64_t stride[3];    // bytes
+    int32_t width, height;
+    int32_t bit_depth;
+    int32_t subsampling_x, subsampling_y;
+    int32_t num_planes;
+    int64_t pts;
+} GravFrameView;
+
+// ---------------------------------------------------------------------------
+// Demuxer
+
+typedef struct GravDemux {
+    AVFormatContext* fmt = nullptr;
+    AVPacket* pkt = nullptr;
+} GravDemux;
+
+GravDemux* grav_demux_open(const char* path, char* err, int errlen) {
+    auto* d = new GravDemux();
+    int ret = avformat_open_input(&d->fmt, path, nullptr, nullptr);
+    if (ret < 0) {
+        set_averr(err, errlen, "avformat_open_input", ret);
+        delete d;
+        return nullptr;
+    }
+    ret = avformat_find_stream_info(d->fmt, nullptr);
+    if (ret < 0) {
+        set_averr(err, errlen, "avformat_find_stream_info", ret);
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    return d;
+}
+
+int grav_demux_stream_count(GravDemux* d) { return (int)d->fmt->nb_streams; }
+
+int grav_demux_best_video_stream(GravDemux* d) {
+    return av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+}
+
+int grav_demux_stream_info(GravDemux* d, int idx, GravStreamInfo* out) {
+    if (idx < 0 || idx >= (int)d->fmt->nb_streams) return -1;
+    AVStream* st = d->fmt->streams[idx];
+    AVCodecParameters* par = st->codecpar;
+    std::memset(out, 0, sizeof(*out));
+    out->index = idx;
+    out->codec_type = par->codec_type;
+    out->codec_id = par->codec_id;
+    out->width = par->width;
+    out->height = par->height;
+    out->time_base_num = st->time_base.num;
+    out->time_base_den = st->time_base.den;
+    AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+    out->frame_rate_num = fr.num;
+    out->frame_rate_den = fr.den;
+    out->color_range = par->color_range;
+    out->color_trc = par->color_trc;
+    out->nb_frames = st->nb_frames;
+    const AVPixFmtDescriptor* desc =
+        av_pix_fmt_desc_get((AVPixelFormat)par->format);
+    if (desc) {
+        out->bit_depth = desc->comp[0].depth;
+        out->subsampling_x = desc->log2_chroma_w;
+        out->subsampling_y = desc->log2_chroma_h;
+    }
+    return 0;
+}
+
+// 1 = packet produced, 0 = EOF, <0 = error. View valid until next call.
+int grav_demux_read(GravDemux* d, GravPacketView* out) {
+    av_packet_unref(d->pkt);
+    int ret = av_read_frame(d->fmt, d->pkt);
+    if (ret == AVERROR_EOF) return 0;
+    if (ret < 0) return ret;
+    out->data = d->pkt->data;
+    out->size = d->pkt->size;
+    out->stream_index = d->pkt->stream_index;
+    out->pts = d->pkt->pts;
+    out->dts = d->pkt->dts;
+    out->duration = d->pkt->duration;
+    out->flags = d->pkt->flags;
+    return 1;
+}
+
+void grav_demux_close(GravDemux* d) {
+    if (!d) return;
+    av_packet_free(&d->pkt);
+    avformat_close_input(&d->fmt);
+    delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Remuxer: copies the stream layout of an input (A/V/S streams), allowing
+// per-packet data replacement on the video stream. Mirrors the reference's
+// output mapping: codec_tag cleared, dispositions/metadata/chapters copied
+// (grav1synth parser.rs:189-257).
+
+typedef struct GravRemux {
+    AVFormatContext* fmt = nullptr;
+    AVPacket* pkt = nullptr;
+    int* stream_map = nullptr;  // input idx -> output idx (-1 dropped)
+    int n_in = 0;
+    AVRational* in_tb = nullptr;
+} GravRemux;
+
+GravRemux* grav_remux_open(const char* path, GravDemux* in, char* err,
+                           int errlen) {
+    auto* m = new GravRemux();
+    auto fail = [&]() -> GravRemux* {
+        delete[] m->stream_map;
+        delete[] m->in_tb;
+        if (m->fmt) {
+            if (m->fmt->pb && !(m->fmt->oformat->flags & AVFMT_NOFILE))
+                avio_closep(&m->fmt->pb);
+            avformat_free_context(m->fmt);
+        }
+        delete m;
+        return nullptr;
+    };
+    int ret = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
+    if (ret < 0 || !m->fmt) {
+        set_averr(err, errlen, "alloc_output_context", ret);
+        return fail();
+    }
+    m->n_in = (int)in->fmt->nb_streams;
+    m->stream_map = new int[m->n_in];
+    m->in_tb = new AVRational[m->n_in];
+    for (int i = 0; i < m->n_in; i++) {
+        AVStream* ist = in->fmt->streams[i];
+        m->in_tb[i] = ist->time_base;
+        enum AVMediaType t = ist->codecpar->codec_type;
+        if (t != AVMEDIA_TYPE_VIDEO && t != AVMEDIA_TYPE_AUDIO &&
+            t != AVMEDIA_TYPE_SUBTITLE) {
+            m->stream_map[i] = -1;
+            continue;
+        }
+        AVStream* ost = avformat_new_stream(m->fmt, nullptr);
+        if (!ost) {
+            set_err(err, errlen, "avformat_new_stream failed");
+            return fail();
+        }
+        avcodec_parameters_copy(ost->codecpar, ist->codecpar);
+        ost->codecpar->codec_tag = 0;
+        ost->disposition = ist->disposition;
+        ost->time_base = ist->time_base;
+        ost->avg_frame_rate = ist->avg_frame_rate;
+        av_dict_copy(&ost->metadata, ist->metadata, 0);
+        m->stream_map[i] = ost->index;
+    }
+    // chapters
+    if (in->fmt->nb_chapters) {
+        m->fmt->chapters = (AVChapter**)av_calloc(in->fmt->nb_chapters,
+                                                  sizeof(AVChapter*));
+        for (unsigned i = 0; i < in->fmt->nb_chapters; i++) {
+            AVChapter* ic = in->fmt->chapters[i];
+            AVChapter* oc = (AVChapter*)av_mallocz(sizeof(AVChapter));
+            *oc = *ic;
+            oc->metadata = nullptr;
+            av_dict_copy(&oc->metadata, ic->metadata, 0);
+            m->fmt->chapters[i] = oc;
+        }
+        m->fmt->nb_chapters = in->fmt->nb_chapters;
+    }
+    av_dict_copy(&m->fmt->metadata, in->fmt->metadata, 0);
+    if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
+        ret = avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE);
+        if (ret < 0) {
+            set_averr(err, errlen, "avio_open", ret);
+            return fail();
+        }
+    }
+    ret = avformat_write_header(m->fmt, nullptr);
+    if (ret < 0) {
+        set_averr(err, errlen, "avformat_write_header", ret);
+        return fail();
+    }
+    m->pkt = av_packet_alloc();
+    return m;
+}
+
+int grav_remux_write(GravRemux* m, int in_stream, const uint8_t* data,
+                     int size, int64_t pts, int64_t dts, int64_t duration,
+                     int flags) {
+    if (in_stream < 0 || in_stream >= m->n_in) return -1;
+    int out_idx = m->stream_map[in_stream];
+    if (out_idx < 0) return 0;  // dropped stream
+    av_packet_unref(m->pkt);
+    if (av_new_packet(m->pkt, size) < 0) return -2;
+    std::memcpy(m->pkt->data, data, (size_t)size);
+    m->pkt->stream_index = out_idx;
+    m->pkt->pts = pts;
+    m->pkt->dts = dts;
+    m->pkt->duration = duration;
+    m->pkt->flags = flags;
+    av_packet_rescale_ts(m->pkt, m->in_tb[in_stream],
+                         m->fmt->streams[out_idx]->time_base);
+    return av_interleaved_write_frame(m->fmt, m->pkt);
+}
+
+int grav_remux_finish(GravRemux* m) {
+    int ret = av_write_trailer(m->fmt);
+    if (m->fmt->pb && !(m->fmt->oformat->flags & AVFMT_NOFILE))
+        avio_closep(&m->fmt->pb);
+    av_packet_free(&m->pkt);
+    delete[] m->stream_map;
+    delete[] m->in_tb;
+    avformat_free_context(m->fmt);
+    delete m;
+    return ret;
+}
+
+// ---------------------------------------------------------------------------
+// Decoder (libdav1d by default; apply_grain toggleable -> grain oracle)
+
+typedef struct GravDecoder {
+    AVCodecContext* ctx = nullptr;
+    AVFrame* frame = nullptr;
+    AVPacket* pkt = nullptr;
+} GravDecoder;
+
+GravDecoder* grav_decoder_open(const char* codec_name, int apply_grain,
+                               int threads, char* err, int errlen) {
+    const AVCodec* codec = avcodec_find_decoder_by_name(codec_name);
+    if (!codec) {
+        set_err(err, errlen, std::string("decoder not found: ") + codec_name);
+        return nullptr;
+    }
+    auto* d = new GravDecoder();
+    d->ctx = avcodec_alloc_context3(codec);
+    d->ctx->thread_count = threads;
+    AVDictionary* opts = nullptr;
+    if (std::strcmp(codec_name, "libdav1d") == 0) {
+        av_dict_set_int(&opts, "filmgrain", apply_grain ? 1 : 0, 0);
+    }
+    int ret = avcodec_open2(d->ctx, codec, &opts);
+    av_dict_free(&opts);
+    if (ret < 0) {
+        set_averr(err, errlen, "avcodec_open2", ret);
+        avcodec_free_context(&d->ctx);
+        delete d;
+        return nullptr;
+    }
+    d->frame = av_frame_alloc();
+    d->pkt = av_packet_alloc();
+    return d;
+}
+
+// data==nullptr -> flush (send EOF)
+int grav_decoder_send(GravDecoder* d, const uint8_t* data, int size,
+                      int64_t pts) {
+    if (!data) return avcodec_send_packet(d->ctx, nullptr);
+    av_packet_unref(d->pkt);
+    if (av_new_packet(d->pkt, size) < 0) return -1;
+    std::memcpy(d->pkt->data, data, (size_t)size);
+    d->pkt->pts = pts;
+    return avcodec_send_packet(d->ctx, d->pkt);
+}
+
+// 1 frame, 0 needs-more-input (EAGAIN), -1 EOF, other negative = error.
+int grav_decoder_receive(GravDecoder* d, GravFrameView* out) {
+    av_frame_unref(d->frame);
+    int ret = avcodec_receive_frame(d->ctx, d->frame);
+    if (ret == AVERROR(EAGAIN)) return 0;
+    if (ret == AVERROR_EOF) return -1;
+    if (ret < 0) return ret;
+    const AVPixFmtDescriptor* desc =
+        av_pix_fmt_desc_get((AVPixelFormat)d->frame->format);
+    std::memset(out, 0, sizeof(*out));
+    out->width = d->frame->width;
+    out->height = d->frame->height;
+    out->bit_depth = desc ? desc->comp[0].depth : 8;
+    out->subsampling_x = desc ? desc->log2_chroma_w : 1;
+    out->subsampling_y = desc ? desc->log2_chroma_h : 1;
+    out->num_planes = (desc && (desc->nb_components >= 3)) ? 3 : 1;
+    out->pts = d->frame->pts;
+    for (int p = 0; p < out->num_planes; p++) {
+        out->data[p] = d->frame->data[p];
+        out->stride[p] = d->frame->linesize[p];
+    }
+    return 1;
+}
+
+void grav_decoder_close(GravDecoder* d) {
+    if (!d) return;
+    av_frame_free(&d->frame);
+    av_packet_free(&d->pkt);
+    avcodec_free_context(&d->ctx);
+    delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Encoder (libaom-av1) for self-generated fixtures
+
+typedef struct GravEncoder {
+    AVCodecContext* ctx = nullptr;
+    AVFrame* frame = nullptr;
+    AVPacket* pkt = nullptr;
+} GravEncoder;
+
+GravEncoder* grav_encoder_open(int width, int height, int bit_depth,
+                               int monochrome, int fps_num, int fps_den,
+                               const char* extra_opts, char* err, int errlen) {
+    const AVCodec* codec = avcodec_find_encoder_by_name("libaom-av1");
+    if (!codec) {
+        set_err(err, errlen, "libaom-av1 encoder not found");
+        return nullptr;
+    }
+    auto* e = new GravEncoder();
+    e->ctx = avcodec_alloc_context3(codec);
+    e->ctx->width = width;
+    e->ctx->height = height;
+    e->ctx->time_base = {fps_den, fps_num};
+    e->ctx->framerate = {fps_num, fps_den};
+    if (monochrome) {
+        e->ctx->pix_fmt = bit_depth == 8 ? AV_PIX_FMT_GRAY8 : AV_PIX_FMT_GRAY10;
+    } else if (bit_depth == 8) {
+        e->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    } else if (bit_depth == 10) {
+        e->ctx->pix_fmt = AV_PIX_FMT_YUV420P10;
+    } else {
+        e->ctx->pix_fmt = AV_PIX_FMT_YUV420P12;
+    }
+    e->ctx->gop_size = 9999;
+    AVDictionary* opts = nullptr;
+    av_dict_set(&opts, "usage", "realtime", 0);
+    av_dict_set(&opts, "cpu-used", "8", 0);
+    av_dict_set(&opts, "crf", "40", 0);
+    av_dict_set(&opts, "b", "0", 0);
+    av_dict_set(&opts, "row-mt", "1", 0);
+    if (extra_opts && extra_opts[0]) {
+        // "key=val:key=val" pairs
+        av_dict_parse_string(&opts, extra_opts, "=", ":", 0);
+    }
+    int ret = avcodec_open2(e->ctx, codec, &opts);
+    av_dict_free(&opts);
+    if (ret < 0) {
+        set_averr(err, errlen, "avcodec_open2(libaom-av1)", ret);
+        avcodec_free_context(&e->ctx);
+        delete e;
+        return nullptr;
+    }
+    e->frame = av_frame_alloc();
+    e->pkt = av_packet_alloc();
+    return e;
+}
+
+// planes: tightly packed caller buffers; strides in bytes.
+int grav_encoder_send(GravEncoder* e, const uint8_t* y, int64_t stride_y,
+                      const uint8_t* u, const uint8_t* v, int64_t stride_uv,
+                      int64_t pts) {
+    if (!y) return avcodec_send_frame(e->ctx, nullptr);
+    av_frame_unref(e->frame);
+    e->frame->format = e->ctx->pix_fmt;
+    e->frame->width = e->ctx->width;
+    e->frame->height = e->ctx->height;
+    if (av_frame_get_buffer(e->frame, 0) < 0) return -1;
+    const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(e->ctx->pix_fmt);
+    int bytes = desc->comp[0].depth > 8 ? 2 : 1;
+    int ch = e->ctx->height >> desc->log2_chroma_h;
+    int cw_bytes = (e->ctx->width >> desc->log2_chroma_w) * bytes;
+    for (int r = 0; r < e->ctx->height; r++)
+        std::memcpy(e->frame->data[0] + (int64_t)r * e->frame->linesize[0],
+                    y + r * stride_y, (size_t)(e->ctx->width * bytes));
+    if (u && desc->nb_components >= 3) {
+        for (int r = 0; r < ch; r++) {
+            std::memcpy(e->frame->data[1] + (int64_t)r * e->frame->linesize[1],
+                        u + r * stride_uv, (size_t)cw_bytes);
+            std::memcpy(e->frame->data[2] + (int64_t)r * e->frame->linesize[2],
+                        v + r * stride_uv, (size_t)cw_bytes);
+        }
+    }
+    e->frame->pts = pts;
+    return avcodec_send_frame(e->ctx, e->frame);
+}
+
+int grav_encoder_receive(GravEncoder* e, GravPacketView* out) {
+    av_packet_unref(e->pkt);
+    int ret = avcodec_receive_packet(e->ctx, e->pkt);
+    if (ret == AVERROR(EAGAIN)) return 0;
+    if (ret == AVERROR_EOF) return -1;
+    if (ret < 0) return ret;
+    out->data = e->pkt->data;
+    out->size = e->pkt->size;
+    out->pts = e->pkt->pts;
+    out->dts = e->pkt->dts;
+    out->duration = e->pkt->duration;
+    out->flags = e->pkt->flags;
+    out->stream_index = 0;
+    return 1;
+}
+
+void grav_encoder_close(GravEncoder* e) {
+    if (!e) return;
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    avcodec_free_context(&e->ctx);
+    delete e;
+}
+
+}  // extern "C"
