@@ -105,6 +105,15 @@ def parse_film_grain_params(
     return GrainHeader(GrainAction.UPDATE, p)
 
 
+def _exact_len(coeffs, n: int, name: str):
+    """Coefficient lists must have exactly the syntax-mandated length;
+    short lists are zero-padded (grain tables often omit the implicit
+    chroma luma-coefficient when lag is 0), long lists truncated."""
+    if len(coeffs) < n:
+        return list(coeffs) + [0] * (n - len(coeffs))
+    return coeffs[:n]
+
+
 def write_film_grain_params(
     w: BitWriter,
     p: FilmGrainParams,
@@ -150,16 +159,16 @@ def write_film_grain_params(
     w.put(p.ar_coeff_lag, 2)
     num_pos_luma = 2 * p.ar_coeff_lag * (p.ar_coeff_lag + 1)
     if num_y_points > 0:
-        for c in p.ar_coeffs_y[:num_pos_luma]:
+        for c in _exact_len(p.ar_coeffs_y, num_pos_luma, "ar_coeffs_y"):
             w.put(c + 128, 8)
         num_pos_chroma = num_pos_luma + 1
     else:
         num_pos_chroma = num_pos_luma
     if chroma_scaling_from_luma or num_cb_points > 0:
-        for c in p.ar_coeffs_cb[:num_pos_chroma]:
+        for c in _exact_len(p.ar_coeffs_cb, num_pos_chroma, "ar_coeffs_cb"):
             w.put(c + 128, 8)
     if chroma_scaling_from_luma or num_cr_points > 0:
-        for c in p.ar_coeffs_cr[:num_pos_chroma]:
+        for c in _exact_len(p.ar_coeffs_cr, num_pos_chroma, "ar_coeffs_cr"):
             w.put(c + 128, 8)
 
     w.put(p.ar_coeff_shift - 6, 2)
