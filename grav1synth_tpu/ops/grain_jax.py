@@ -1,0 +1,624 @@
+"""JAX/TPU device implementation of AV1 film grain synthesis.
+
+Bit-exact port of grain_ref.py (itself validated against dav1d),
+re-structured for XLA/TPU rather than translated:
+
+- The spec's serial 16-bit LFSR is GF(2)-linear, so all N states are
+  computed in parallel as one bit-matrix multiply against precomputed
+  companion-matrix powers (MXU-friendly; no sequential dependency).
+- AR filtering is a `lax.scan` over raster positions whose lag window
+  is a static set of flat-index offsets; each step processes the whole
+  frame batch as a vector, so the VPU lanes are filled by batching.
+- Noise-plane assembly is four parallel gathers through precomputed
+  index maps (current / left / top / top-left block grain), blended
+  with periodic weight masks — no per-block loops.
+- Scaling is evaluated in closed form per segment with masks (exact
+  integer semantics of the spec LUT construction), avoiding per-pixel
+  table gathers entirely.
+
+All functions take a `GrainParamsBatch` (leading dim = frames) and are
+jittable with static geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..obu.types import FilmGrainParams
+from .tables_data import GAUSSIAN_SEQUENCE
+
+GRAIN_W = 82
+GRAIN_H = 73
+CHROMA_W_420 = 44
+CHROMA_H_420 = 38
+BLOCK = 32
+MAX_Y_POINTS = 14
+MAX_UV_POINTS = 10
+
+# AR lag-3 neighbor slots in spec scan order (deltaRow -3..0, deltaCol
+# -3..3, stopping at (0,0)): 24 spatial positions. Lower-lag coefficient
+# lists are scattered into these slots host-side so one static window
+# serves every lag.
+LAG3_OFFSETS: Tuple[Tuple[int, int], ...] = tuple(
+    (dr, dc)
+    for dr in range(-3, 1)
+    for dc in range(-3, 4)
+    if not (dr == 0 and dc >= 0)
+)
+assert len(LAG3_OFFSETS) == 24
+
+
+def _lag_offsets(lag: int) -> List[Tuple[int, int]]:
+    out = []
+    for dr in range(-lag, 1):
+        for dc in range(-lag, lag + 1):
+            if dr == 0 and dc == 0:
+                break
+            out.append((dr, dc))
+    return out
+
+
+_LAG3_SLOT = {off: i for i, off in enumerate(LAG3_OFFSETS)}
+
+
+def scatter_coeffs_to_lag3(coeffs: List[int], lag: int) -> np.ndarray:
+    """Place a lag-N coefficient list into the 24 lag-3 slots."""
+    out = np.zeros(24, dtype=np.int32)
+    for c, off in zip(coeffs, _lag_offsets(lag)):
+        out[_LAG3_SLOT[off]] = c
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched parameter container
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GrainParamsBatch:
+    """Per-frame grain parameters as stacked device arrays (leading B)."""
+
+    seed: jnp.ndarray  # (B,) int32
+    num_y: jnp.ndarray  # (B,)
+    num_cb: jnp.ndarray
+    num_cr: jnp.ndarray
+    pts_y: jnp.ndarray  # (B, 14, 2) int32, padded with last point
+    pts_cb: jnp.ndarray  # (B, 10, 2)
+    pts_cr: jnp.ndarray
+    coeffs_y: jnp.ndarray  # (B, 24) int32 in lag-3 slots
+    coeffs_cb: jnp.ndarray  # (B, 25): 24 slots + luma coeff
+    coeffs_cr: jnp.ndarray
+    scaling_shift: jnp.ndarray  # (B,)
+    ar_shift: jnp.ndarray  # (B,)
+    grain_scale_shift: jnp.ndarray  # (B,)
+    cb_mult: jnp.ndarray
+    cb_luma_mult: jnp.ndarray
+    cb_offset: jnp.ndarray
+    cr_mult: jnp.ndarray
+    cr_luma_mult: jnp.ndarray
+    cr_offset: jnp.ndarray
+    csfl: jnp.ndarray  # (B,) int32 0/1
+    overlap: jnp.ndarray  # (B,) int32 0/1
+    clip: jnp.ndarray  # (B,) int32 0/1
+
+    def tree_flatten(self):
+        fields = tuple(self.__dataclass_fields__)
+        return tuple(getattr(self, f) for f in fields), fields
+
+    @classmethod
+    def tree_unflatten(cls, fields, values):
+        return cls(**dict(zip(fields, values)))
+
+    @property
+    def batch(self) -> int:
+        return self.seed.shape[0]
+
+
+def pack_params(params: List[FilmGrainParams]) -> GrainParamsBatch:
+    """Stack host FilmGrainParams into a device batch."""
+    b = len(params)
+
+    def pad_points(pts, n):
+        out = np.zeros((b, n, 2), dtype=np.int32)
+        for i, p in enumerate(pts):
+            if p:
+                arr = np.asarray(p, dtype=np.int32)
+                out[i, : len(p)] = arr
+                out[i, len(p) :] = arr[-1]  # pad with last point
+        return out
+
+    def arr(get, dtype=np.int32):
+        return np.asarray([get(p) for p in params], dtype=dtype)
+
+    coeffs_y = np.stack(
+        [scatter_coeffs_to_lag3(p.ar_coeffs_y, p.ar_coeff_lag) for p in params]
+    )
+    def chroma_coeffs(get_coeffs, active):
+        out = np.zeros((b, 25), dtype=np.int32)
+        for i, p in enumerate(params):
+            cs = get_coeffs(p)
+            if not active(p) or not cs:
+                continue
+            n_spatial = 2 * p.ar_coeff_lag * (p.ar_coeff_lag + 1)
+            out[i, :24] = scatter_coeffs_to_lag3(cs[:n_spatial], p.ar_coeff_lag)
+            if len(p.scaling_points_y) > 0 and len(cs) > n_spatial:
+                out[i, 24] = cs[n_spatial]
+        return out
+
+    cb_active = lambda p: p.chroma_scaling_from_luma or len(p.scaling_points_cb) > 0
+    cr_active = lambda p: p.chroma_scaling_from_luma or len(p.scaling_points_cr) > 0
+    return GrainParamsBatch(
+        seed=jnp.asarray(arr(lambda p: p.grain_seed)),
+        num_y=jnp.asarray(arr(lambda p: len(p.scaling_points_y))),
+        num_cb=jnp.asarray(arr(lambda p: len(p.scaling_points_cb))),
+        num_cr=jnp.asarray(arr(lambda p: len(p.scaling_points_cr))),
+        pts_y=jnp.asarray(pad_points([p.scaling_points_y for p in params], MAX_Y_POINTS)),
+        pts_cb=jnp.asarray(pad_points([p.scaling_points_cb for p in params], MAX_UV_POINTS)),
+        pts_cr=jnp.asarray(pad_points([p.scaling_points_cr for p in params], MAX_UV_POINTS)),
+        coeffs_y=jnp.asarray(coeffs_y),
+        coeffs_cb=jnp.asarray(chroma_coeffs(lambda p: p.ar_coeffs_cb, cb_active)),
+        coeffs_cr=jnp.asarray(chroma_coeffs(lambda p: p.ar_coeffs_cr, cr_active)),
+        scaling_shift=jnp.asarray(arr(lambda p: p.scaling_shift)),
+        ar_shift=jnp.asarray(arr(lambda p: p.ar_coeff_shift)),
+        grain_scale_shift=jnp.asarray(arr(lambda p: p.grain_scale_shift)),
+        cb_mult=jnp.asarray(arr(lambda p: p.cb_mult)),
+        cb_luma_mult=jnp.asarray(arr(lambda p: p.cb_luma_mult)),
+        cb_offset=jnp.asarray(arr(lambda p: p.cb_offset)),
+        cr_mult=jnp.asarray(arr(lambda p: p.cr_mult)),
+        cr_luma_mult=jnp.asarray(arr(lambda p: p.cr_luma_mult)),
+        cr_offset=jnp.asarray(arr(lambda p: p.cr_offset)),
+        csfl=jnp.asarray(arr(lambda p: int(p.chroma_scaling_from_luma))),
+        overlap=jnp.asarray(arr(lambda p: int(p.overlap_flag))),
+        clip=jnp.asarray(arr(lambda p: int(p.clip_to_restricted_range))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parallel LFSR: companion-matrix powers over GF(2)
+
+
+@functools.lru_cache(maxsize=8)
+def _lfsr_matrix_powers(n: int) -> np.ndarray:
+    """M^1..M^n packed as one (16, n*16) uint8 matrix, where M is the
+    GF(2) companion matrix of the spec LFSR r' = (r >> 1) | (parity <<
+    15), parity over taps {0, 1, 3, 12}. state_bits(k) = s0_bits @ M^k."""
+    m = np.zeros((16, 16), dtype=np.uint8)
+    for i in range(1, 16):
+        m[i, i - 1] = 1  # b'_{i-1} = b_i
+    for tap in (0, 1, 3, 12):
+        m[tap, 15] ^= 1  # b'_15 = b0 ^ b1 ^ b3 ^ b12
+    out = np.empty((n, 16, 16), dtype=np.uint8)
+    acc = m.copy()
+    out[0] = acc
+    for k in range(1, n):
+        acc = (acc.astype(np.uint16) @ m) & 1
+        acc = acc.astype(np.uint8)
+        out[k] = acc
+    return np.ascontiguousarray(out.transpose(1, 0, 2).reshape(16, n * 16))
+
+
+def lfsr_outputs(seeds: jnp.ndarray, n: int, nbits: int) -> jnp.ndarray:
+    """(B,) uint16 seeds -> (B, n) outputs of get_random_number(nbits):
+    the top `nbits` of the state after each of n updates."""
+    mat = jnp.asarray(_lfsr_matrix_powers(n), dtype=jnp.int32)  # (16, n*16)
+    bit_idx = jnp.arange(16, dtype=jnp.int32)
+    s0 = (seeds[:, None] >> bit_idx[None, :]) & 1  # (B, 16)
+    states = jnp.dot(s0, mat, preferred_element_type=jnp.int32) & 1  # (B, n*16)
+    states = states.reshape(seeds.shape[0], n, 16)
+    weights = (1 << jnp.arange(16, dtype=jnp.int32))[None, None, :]
+    value = jnp.sum(states * weights, axis=-1)  # (B, n) full 16-bit states
+    return (value >> (16 - nbits)) & ((1 << nbits) - 1)
+
+
+def round2(x: jnp.ndarray, shift) -> jnp.ndarray:
+    return jnp.where(
+        jnp.asarray(shift) > 0, (x + (1 << jnp.maximum(shift - 1, 0))) >> shift, x
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern generation
+
+
+def _gaussian_base(
+    seeds: jnp.ndarray, h: int, w: int, shift: jnp.ndarray, active: jnp.ndarray
+) -> jnp.ndarray:
+    """(B,) seeds -> (B, h, w) rounded Gaussian base noise; inactive
+    frames produce zeros (the spec does not advance the RNG for them,
+    which is immaterial here as every pattern has an independent seed)."""
+    idx = lfsr_outputs(seeds, h * w, 11)
+    gauss = jnp.asarray(GAUSSIAN_SEQUENCE, dtype=jnp.int32)
+    g = jnp.take(gauss, idx, axis=0)
+    g = round2(g, shift[:, None]).reshape(-1, h, w)
+    return g * active[:, None, None]
+
+
+def _ar_positions(h: int, w: int) -> np.ndarray:
+    """Flat indices of the AR-filtered region, raster order (spec: rows
+    from 3, columns 3..w-4)."""
+    ys, xs = np.mgrid[3:h, 3 : w - 3]
+    return (ys * w + xs).ravel().astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _ar_filter(
+    pattern: jnp.ndarray,  # (B, h, w) int32
+    coeffs: jnp.ndarray,  # (B, 24) int32, lag-3 slots
+    ar_shift: jnp.ndarray,  # (B,)
+    gmin: jnp.ndarray,  # (B,)
+    gmax: jnp.ndarray,  # (B,)
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """Spec AR recurrence over raster positions (sequential by nature;
+    batched across frames so each scan step is a full-width vector op)."""
+    b = pattern.shape[0]
+    flat = pattern.reshape(b, h * w)
+    rel = jnp.asarray([dr * w + dc for dr, dc in LAG3_OFFSETS], dtype=jnp.int32)
+    positions = jnp.asarray(_ar_positions(h, w))
+    add = 1 << jnp.maximum(ar_shift - 1, 0)
+
+    def step(carry, pos):
+        window = carry[:, pos + rel]  # (B, 24)
+        s = jnp.sum(window * coeffs, axis=1)
+        v = carry[:, pos] + ((s + add) >> ar_shift)
+        v = jnp.clip(v, gmin, gmax)
+        return carry.at[:, pos].set(v), None
+
+    flat, _ = jax.lax.scan(step, flat, positions)
+    return flat.reshape(b, h, w)
+
+
+def _ar_filter_chroma(
+    pattern: jnp.ndarray,  # (B, ch, cw)
+    luma: jnp.ndarray,  # (B, 73, 82) final luma pattern
+    coeffs: jnp.ndarray,  # (B, 25)
+    ar_shift: jnp.ndarray,
+    gmin: jnp.ndarray,
+    gmax: jnp.ndarray,
+    sub_x: int,
+    sub_y: int,
+    num_y: jnp.ndarray,  # (B,)
+) -> jnp.ndarray:
+    b, ch, cw = pattern.shape
+    flat = pattern.reshape(b, ch * cw)
+    luma_flat = luma.reshape(b, GRAIN_H * GRAIN_W)
+    rel = jnp.asarray([dr * cw + dc for dr, dc in LAG3_OFFSETS], dtype=jnp.int32)
+    positions = jnp.asarray(_ar_positions(ch, cw))
+    # collocated luma sample offsets for each chroma position (static)
+    ys, xs = np.mgrid[3:ch, 3 : cw - 3]
+    ly = ((ys - 3) << sub_y) + 3
+    lx = ((xs - 3) << sub_x) + 3
+    luma_base = (ly * GRAIN_W + lx).ravel().astype(np.int32)
+    luma_rel = np.asarray(
+        [i * GRAIN_W + j for i in range(sub_y + 1) for j in range(sub_x + 1)],
+        dtype=np.int32,
+    )
+    luma_idx = jnp.asarray(luma_base[:, None] + luma_rel[None, :])  # (N, k)
+    add = 1 << jnp.maximum(ar_shift - 1, 0)
+    luma_coeff = coeffs[:, 24] * (num_y > 0)
+    spatial = coeffs[:, :24]
+
+    def step(carry, inp):
+        pos, lidx = inp
+        window = carry[:, pos + rel]
+        s = jnp.sum(window * spatial, axis=1)
+        lsamp = luma_flat[:, lidx]  # (B, k)
+        avg = round2(jnp.sum(lsamp, axis=1), sub_x + sub_y)
+        s = s + luma_coeff * avg
+        v = carry[:, pos] + ((s + add) >> ar_shift)
+        v = jnp.clip(v, gmin, gmax)
+        return carry.at[:, pos].set(v), None
+
+    flat, _ = jax.lax.scan(step, flat, (positions, luma_idx))
+    return flat.reshape(b, ch, cw)
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome"))
+def generate_patterns(
+    p: GrainParamsBatch,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+):
+    """Returns (luma (B,73,82), cb, cr) grain patterns (cb/cr None when
+    monochrome)."""
+    shift = 12 - bit_depth + p.grain_scale_shift
+    grain_center = 128 << (bit_depth - 8)
+    gmin = jnp.full_like(p.seed, -grain_center)
+    gmax = jnp.full_like(p.seed, grain_center - 1)
+
+    luma = _gaussian_base(p.seed, GRAIN_H, GRAIN_W, shift, (p.num_y > 0).astype(jnp.int32))
+    luma = _ar_filter(luma, p.coeffs_y, p.ar_shift, gmin, gmax, GRAIN_H, GRAIN_W)
+    if monochrome:
+        return luma, None, None
+    cw = CHROMA_W_420 if sub_x else GRAIN_W
+    ch = CHROMA_H_420 if sub_y else GRAIN_H
+    cb_active = ((p.num_cb > 0) | (p.csfl > 0)).astype(jnp.int32)
+    cr_active = ((p.num_cr > 0) | (p.csfl > 0)).astype(jnp.int32)
+    cb = _gaussian_base(p.seed ^ 0xB524, ch, cw, shift, cb_active)
+    cr = _gaussian_base(p.seed ^ 0x49D8, ch, cw, shift, cr_active)
+    cb = _ar_filter_chroma(
+        cb, luma, p.coeffs_cb * cb_active[:, None], p.ar_shift, gmin, gmax,
+        sub_x, sub_y, p.num_y,
+    )
+    cr = _ar_filter_chroma(
+        cr, luma, p.coeffs_cr * cr_active[:, None], p.ar_shift, gmin, gmax,
+        sub_x, sub_y, p.num_y,
+    )
+    return luma, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# Block offsets
+
+
+def block_offsets(seed: jnp.ndarray, num_stripes: int, blocks: int) -> jnp.ndarray:
+    """(B,) seeds -> (B, num_stripes, blocks) 8-bit offset randoms with
+    the spec per-stripe reseeding."""
+    s = jnp.arange(num_stripes, dtype=jnp.int32)
+    rr = seed[:, None]
+    rr = rr ^ (((s * 37 + 178) & 255) << 8)[None, :]
+    rr = rr ^ ((s * 173 + 105) & 255)[None, :]
+    flat_seeds = rr.reshape(-1)
+    outs = lfsr_outputs(flat_seeds, blocks, 8)
+    return outs.reshape(seed.shape[0], num_stripes, blocks)
+
+
+# ---------------------------------------------------------------------------
+# Noise plane assembly (index maps + gathers)
+
+
+def _noise_plane(
+    pattern: jnp.ndarray,  # (B, gh, gw)
+    offsets: jnp.ndarray,  # (B, S, NB) 8-bit randoms
+    h: int,
+    w: int,
+    sub_x: int,
+    sub_y: int,
+    overlap: jnp.ndarray,  # (B,)
+    gmin: jnp.ndarray,
+    gmax: jnp.ndarray,
+) -> jnp.ndarray:
+    b, gh, gw = pattern.shape
+    bw = BLOCK >> sub_x
+    bh = BLOCK >> sub_y
+    ys = np.arange(h)
+    xs = np.arange(w)
+    sidx = ys // bh  # stripe per row
+    bidx = xs // bw  # block per col
+    iny = jnp.asarray(ys % bh)
+    inx = jnp.asarray(xs % bw)
+
+    rand = offsets  # (B,S,NB)
+    offx_all = 3 + (2 >> sub_x) * (3 + (rand >> 4))
+    offy_all = 3 + (2 >> sub_y) * (3 + (rand & 15))
+
+    def maps(shift_s, shift_b):
+        """Index maps using the block at (stripe - shift_s, block -
+        shift_b); out-of-range neighbors are clamped (masked later)."""
+        s_sel = np.maximum(sidx - shift_s, 0)
+        b_sel = np.maximum(bidx - shift_b, 0)
+        ox = offx_all[:, s_sel][:, :, b_sel]  # (B, h, w)
+        oy = offy_all[:, s_sel][:, :, b_sel]
+        row = oy + iny[None, :, None] + shift_s * bh
+        col = ox + inx[None, None, :] + shift_b * bw
+        return row, col
+
+    def gather(row, col):
+        flat = pattern.reshape(b, gh * gw)
+        idx = jnp.clip(row * gw + col, 0, gh * gw - 1)
+        return jnp.take_along_axis(flat, idx.reshape(b, -1), axis=1).reshape(b, h, w)
+
+    r0, c0 = maps(0, 0)
+    cur = gather(r0, c0)
+
+    ov_cols = 2 >> sub_x
+    ov_rows = 2 >> sub_y
+    # per-pixel blend weights, periodic masks
+    colpos = xs % bw
+    rowpos = ys % bh
+    has_left = (bidx > 0) & (colpos < ov_cols)
+    has_top = (sidx > 0) & (rowpos < ov_rows)
+    if sub_x:
+        wx_old = np.where(colpos == 0, 23, 0)
+        wx_new = np.where(colpos == 0, 22, 32)
+    else:
+        wx_old = np.select([colpos == 0, colpos == 1], [27, 17], 0)
+        wx_new = np.select([colpos == 0, colpos == 1], [17, 27], 32)
+    if sub_y:
+        wy_old = np.where(rowpos == 0, 23, 0)
+        wy_new = np.where(rowpos == 0, 22, 32)
+    else:
+        wy_old = np.select([rowpos == 0, rowpos == 1], [27, 17], 0)
+        wy_new = np.select([rowpos == 0, rowpos == 1], [17, 27], 32)
+
+    has_left = jnp.asarray(has_left)[None, None, :]
+    has_top = jnp.asarray(has_top)[None, :, None]
+    wx_old = jnp.asarray(wx_old)[None, None, :]
+    wx_new = jnp.asarray(wx_new)[None, None, :]
+    wy_old = jnp.asarray(wy_old)[None, :, None]
+    wy_new = jnp.asarray(wy_new)[None, :, None]
+    ov = (overlap > 0)[:, None, None]
+    gmin_b = gmin[:, None, None]
+    gmax_b = gmax[:, None, None]
+
+    def hblend(old, new):
+        blended = jnp.clip((old * wx_old + new * wx_new + 16) >> 5, gmin_b, gmax_b)
+        return jnp.where(ov & has_left, blended, new)
+
+    rl, cl = maps(0, 1)
+    left = gather(rl, cl)
+    cur_h = hblend(left, cur)
+
+    rt, ct = maps(1, 0)
+    top = gather(rt, ct)
+    rtl, ctl = maps(1, 1)
+    topleft = gather(rtl, ctl)
+    top_h = hblend(topleft, top)
+
+    blended_v = jnp.clip((top_h * wy_old + cur_h * wy_new + 16) >> 5, gmin_b, gmax_b)
+    return jnp.where(ov & has_top, blended_v, cur_h)
+
+
+# ---------------------------------------------------------------------------
+# Scaling: closed-form piecewise-linear evaluation
+
+
+def _scaling_eval8(
+    v: jnp.ndarray,  # (B, h, w) int32 in 8-bit node domain 0..255
+    pts: jnp.ndarray,  # (B, P, 2)
+    num: jnp.ndarray,  # (B,)
+) -> jnp.ndarray:
+    """Exact spec LUT value at 8-bit node positions, evaluated directly:
+    lut[x] for x in [pt_j, pt_{j+1}) is y_j + ((x - x_j) * delta_j +
+    32768) >> 16 with delta_j = dy * ((65536 + dx/2) // dx)."""
+    b, p_max, _ = pts.shape
+    x_j = pts[:, :, 0]  # (B, P)
+    y_j = pts[:, :, 1]
+    dx = jnp.diff(x_j, axis=1)  # (B, P-1)
+    dy = jnp.diff(y_j, axis=1)
+    dx_safe = jnp.maximum(dx, 1)
+    delta = dy * ((65536 + (dx_safe >> 1)) // dx_safe)
+    seg_valid = (jnp.arange(p_max - 1)[None, :] < (num[:, None] - 1)) & (dx > 0)
+
+    shape = v.shape
+    vflat = v.reshape(b, -1)  # (B, N)
+    val = jnp.zeros_like(vflat)
+    # accumulate one segment at a time (13 fused elementwise passes —
+    # keeps peak memory at O(B*N) instead of O(B*P*N))
+    for j in range(p_max - 1):
+        in_seg = (
+            (vflat >= x_j[:, j : j + 1])
+            & (vflat < x_j[:, j + 1 : j + 2])
+            & seg_valid[:, j : j + 1]
+        )
+        seg_val = y_j[:, j : j + 1] + (
+            ((vflat - x_j[:, j : j + 1]) * delta[:, j : j + 1] + 32768) >> 16
+        )
+        val = jnp.where(in_seg, seg_val, val)
+    below = vflat < x_j[:, :1]
+    above = vflat >= jnp.take_along_axis(x_j, jnp.maximum(num - 1, 0)[:, None], axis=1)
+    first_y = y_j[:, :1]
+    last_y = jnp.take_along_axis(y_j, jnp.maximum(num - 1, 0)[:, None], axis=1)
+    val = jnp.where(below, first_y, val)
+    val = jnp.where(above, last_y, val)
+    val = val * (num > 0)[:, None]
+    return val.reshape(shape)
+
+
+def scaling_lookup(
+    v: jnp.ndarray,  # (B, h, w) pixel values
+    pts: jnp.ndarray,
+    num: jnp.ndarray,
+    bit_depth: int,
+) -> jnp.ndarray:
+    """Spec scaling including high-bit-depth node interpolation."""
+    maxval = (1 << bit_depth) - 1
+    v = jnp.clip(v, 0, maxval)
+    if bit_depth == 8:
+        return _scaling_eval8(v, pts, num)
+    shift = bit_depth - 8
+    pad = 1 << shift
+    idx = v >> shift
+    rem = v & (pad - 1)
+    a = _scaling_eval8(idx, pts, num)
+    b_val = _scaling_eval8(jnp.minimum(idx + 1, 255), pts, num)
+    interp = a + (((b_val - a) * rem + (pad >> 1)) >> shift)
+    return jnp.where(idx >= 255, a, interp)
+
+
+# ---------------------------------------------------------------------------
+# Full application
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome")
+)
+def apply_grain_batch(
+    y: jnp.ndarray,  # (B, H, W) int32 (or uint; cast inside)
+    cb: Optional[jnp.ndarray],  # (B, Hc, Wc) or None
+    cr: Optional[jnp.ndarray],
+    p: GrainParamsBatch,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+):
+    """Apply film grain to a batch of frames. Returns (y', cb', cr')."""
+    y = y.astype(jnp.int32)
+    b, h, w = y.shape
+    luma_pat, cb_pat, cr_pat = generate_patterns(
+        p, bit_depth, sub_x, sub_y, monochrome
+    )
+    grain_center = 128 << (bit_depth - 8)
+    gmin = jnp.full_like(p.seed, -grain_center)
+    gmax = jnp.full_like(p.seed, grain_center - 1)
+    maxval = (1 << bit_depth) - 1
+
+    num_stripes = (h + BLOCK - 1) // BLOCK
+    num_blocks = (w + BLOCK - 1) // BLOCK
+    offs = block_offsets(p.seed, num_stripes, num_blocks)
+
+    # ---- luma ----
+    noise_y = _noise_plane(luma_pat, offs, h, w, 0, 0, p.overlap, gmin, gmax)
+    scale_y = scaling_lookup(y, p.pts_y, p.num_y, bit_depth)
+    ss = p.scaling_shift[:, None, None]
+    noise = (scale_y * noise_y + (1 << (ss - 1))) >> ss
+    lo = jnp.where(p.clip > 0, 16 << (bit_depth - 8), 0)[:, None, None]
+    hi_y = jnp.where(p.clip > 0, 235 << (bit_depth - 8), maxval)[:, None, None]
+    y_out = jnp.clip(y + noise, lo, hi_y)
+    y_out = jnp.where((p.num_y > 0)[:, None, None], y_out, y)
+
+    if monochrome:
+        return y_out, None, None
+
+    hc, wc = cb.shape[1], cb.shape[2]
+    # average luma for the chroma scaling input (original luma, spec)
+    ly = y[:, :: 1 << sub_y, :][:, :hc, :]
+    if sub_x:
+        a = ly[:, :, 0 : 2 * wc : 2]
+        if 2 * wc <= w:
+            bb = ly[:, :, 1 : 2 * wc : 2]
+        else:
+            bb = jnp.concatenate([ly[:, :, 1::2], a[:, :, -1:]], axis=2)
+        avg_luma = (a + bb + 1) >> 1
+    else:
+        avg_luma = ly[:, :, :wc]
+
+    hi_c = jnp.where(p.clip > 0, 240 << (bit_depth - 8), maxval)[:, None, None]
+
+    def chroma_plane(src, pat, mult, luma_mult, offset, pts, num):
+        src = src.astype(jnp.int32)
+        noise_c = _noise_plane(
+            pat, offs, hc, wc, sub_x, sub_y, p.overlap, gmin, gmax
+        )
+        combined = avg_luma * (luma_mult[:, None, None] - 128) + src * (
+            mult[:, None, None] - 128
+        )
+        val_mult = jnp.clip(
+            (combined >> 6) + ((offset[:, None, None] - 256) << (bit_depth - 8)),
+            0,
+            maxval,
+        )
+        use_csfl = (p.csfl > 0)[:, None, None]
+        val = jnp.where(use_csfl, avg_luma, val_mult)
+        # scaling points: under csfl the luma points drive chroma
+        scale_csfl = scaling_lookup(val, p.pts_y, p.num_y, bit_depth)
+        scale_own = scaling_lookup(val, pts, num, bit_depth)
+        scale = jnp.where(use_csfl, scale_csfl, scale_own)
+        noise = (scale * noise_c + (1 << (ss - 1))) >> ss
+        out = jnp.clip(src + noise, lo, hi_c)
+        active = ((num > 0) | (p.csfl > 0))[:, None, None]
+        return jnp.where(active, out, src)
+
+    cb_out = chroma_plane(cb, cb_pat, p.cb_mult, p.cb_luma_mult, p.cb_offset, p.pts_cb, p.num_cb)
+    cr_out = chroma_plane(cr, cr_pat, p.cr_mult, p.cr_luma_mult, p.cr_offset, p.pts_cr, p.num_cr)
+    return y_out, cb_out, cr_out
