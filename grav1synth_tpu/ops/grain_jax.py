@@ -239,11 +239,28 @@ def _gaussian_base(
     return g * active[:, None, None]
 
 
-def _ar_positions(h: int, w: int) -> np.ndarray:
-    """Flat indices of the AR-filtered region, raster order (spec: rows
-    from 3, columns 3..w-4)."""
-    ys, xs = np.mgrid[3:h, 3 : w - 3]
-    return (ys * w + xs).ravel().astype(np.int32)
+def _wavefronts(h: int, w: int) -> Tuple[np.ndarray, int]:
+    """Group the AR region's positions into parallel wavefronts.
+
+    Every AR neighbor (deltaRow in [-3, 0], deltaCol in [-3, 3], before
+    (0,0) in raster order) of position (y, x) has strictly smaller
+    t = 4*y + x, so all positions sharing a t are mutually independent
+    and the spec's raster recurrence collapses from h*w sequential
+    steps to ~4*h + w wavefront steps.
+
+    Returns (positions (T, P) int32 padded with h*w (a scratch slot),
+    P = max positions per wavefront)."""
+    groups = {}
+    for y in range(3, h):
+        for x in range(3, w - 3):
+            groups.setdefault(4 * y + x, []).append(y * w + x)
+    ts = sorted(groups)
+    p_max = max(len(v) for v in groups.values())
+    dummy = h * w
+    out = np.full((len(ts), p_max), dummy, dtype=np.int32)
+    for i, t in enumerate(ts):
+        out[i, : len(groups[t])] = groups[t]
+    return out, p_max
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
@@ -256,23 +273,27 @@ def _ar_filter(
     h: int,
     w: int,
 ) -> jnp.ndarray:
-    """Spec AR recurrence over raster positions (sequential by nature;
-    batched across frames so each scan step is a full-width vector op)."""
+    """Spec AR recurrence, scheduled as a wavefront scan (see
+    _wavefronts) batched across frames."""
     b = pattern.shape[0]
-    flat = pattern.reshape(b, h * w)
+    positions, _ = _wavefronts(h, w)
+    # one scratch slot at the end absorbs padded-position writes
+    flat = jnp.concatenate(
+        [pattern.reshape(b, h * w), jnp.zeros((b, 1), jnp.int32)], axis=1
+    )
     rel = jnp.asarray([dr * w + dc for dr, dc in LAG3_OFFSETS], dtype=jnp.int32)
-    positions = jnp.asarray(_ar_positions(h, w))
-    add = 1 << jnp.maximum(ar_shift - 1, 0)
+    add = (1 << jnp.maximum(ar_shift - 1, 0))[:, None]
+    shift = ar_shift[:, None]
 
-    def step(carry, pos):
-        window = carry[:, pos + rel]  # (B, 24)
-        s = jnp.sum(window * coeffs, axis=1)
-        v = carry[:, pos] + ((s + add) >> ar_shift)
-        v = jnp.clip(v, gmin, gmax)
+    def step(carry, pos):  # pos: (P,)
+        window = carry[:, pos[:, None] + rel[None, :]]  # (B, P, 24)
+        s = jnp.einsum("bpk,bk->bp", window, coeffs, preferred_element_type=jnp.int32)
+        v = carry[:, pos] + ((s + add) >> shift)
+        v = jnp.clip(v, gmin[:, None], gmax[:, None])
         return carry.at[:, pos].set(v), None
 
-    flat, _ = jax.lax.scan(step, flat, positions)
-    return flat.reshape(b, h, w)
+    flat, _ = jax.lax.scan(step, flat, jnp.asarray(positions))
+    return flat[:, : h * w].reshape(b, h, w)
 
 
 def _ar_filter_chroma(
@@ -287,37 +308,41 @@ def _ar_filter_chroma(
     num_y: jnp.ndarray,  # (B,)
 ) -> jnp.ndarray:
     b, ch, cw = pattern.shape
-    flat = pattern.reshape(b, ch * cw)
+    positions, p_max = _wavefronts(ch, cw)
+    flat = jnp.concatenate(
+        [pattern.reshape(b, ch * cw), jnp.zeros((b, 1), jnp.int32)], axis=1
+    )
     luma_flat = luma.reshape(b, GRAIN_H * GRAIN_W)
     rel = jnp.asarray([dr * cw + dc for dr, dc in LAG3_OFFSETS], dtype=jnp.int32)
-    positions = jnp.asarray(_ar_positions(ch, cw))
-    # collocated luma sample offsets for each chroma position (static)
-    ys, xs = np.mgrid[3:ch, 3 : cw - 3]
-    ly = ((ys - 3) << sub_y) + 3
-    lx = ((xs - 3) << sub_x) + 3
-    luma_base = (ly * GRAIN_W + lx).ravel().astype(np.int32)
+    # collocated luma average per chroma position, precomputed in full
+    # (parallel; depends only on the already-final luma pattern)
+    ys, xs = np.mgrid[0:ch, 0:cw]
+    ly = np.minimum(((ys - 3) << sub_y) + 3, GRAIN_H - 1 - sub_y)
+    lx = np.minimum(((xs - 3) << sub_x) + 3, GRAIN_W - 1 - sub_x)
+    luma_base = jnp.asarray((ly * GRAIN_W + lx).ravel())
     luma_rel = np.asarray(
         [i * GRAIN_W + j for i in range(sub_y + 1) for j in range(sub_x + 1)],
         dtype=np.int32,
     )
-    luma_idx = jnp.asarray(luma_base[:, None] + luma_rel[None, :])  # (N, k)
-    add = 1 << jnp.maximum(ar_shift - 1, 0)
-    luma_coeff = coeffs[:, 24] * (num_y > 0)
+    lsamp = luma_flat[:, luma_base[:, None] + jnp.asarray(luma_rel)[None, :]]
+    avg_full = round2(jnp.sum(lsamp, axis=2), sub_x + sub_y)  # (B, ch*cw)
+    avg_full = jnp.concatenate([avg_full, jnp.zeros((b, 1), jnp.int32)], axis=1)
+
+    add = (1 << jnp.maximum(ar_shift - 1, 0))[:, None]
+    shift = ar_shift[:, None]
+    luma_coeff = (coeffs[:, 24] * (num_y > 0))[:, None]
     spatial = coeffs[:, :24]
 
-    def step(carry, inp):
-        pos, lidx = inp
-        window = carry[:, pos + rel]
-        s = jnp.sum(window * spatial, axis=1)
-        lsamp = luma_flat[:, lidx]  # (B, k)
-        avg = round2(jnp.sum(lsamp, axis=1), sub_x + sub_y)
-        s = s + luma_coeff * avg
-        v = carry[:, pos] + ((s + add) >> ar_shift)
-        v = jnp.clip(v, gmin, gmax)
+    def step(carry, pos):
+        window = carry[:, pos[:, None] + rel[None, :]]
+        s = jnp.einsum("bpk,bk->bp", window, spatial, preferred_element_type=jnp.int32)
+        s = s + luma_coeff * avg_full[:, pos]
+        v = carry[:, pos] + ((s + add) >> shift)
+        v = jnp.clip(v, gmin[:, None], gmax[:, None])
         return carry.at[:, pos].set(v), None
 
-    flat, _ = jax.lax.scan(step, flat, (positions, luma_idx))
-    return flat.reshape(b, ch, cw)
+    flat, _ = jax.lax.scan(step, flat, jnp.asarray(positions))
+    return flat[:, : ch * cw].reshape(b, ch, cw)
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome"))
@@ -387,41 +412,76 @@ def _noise_plane(
     gmin: jnp.ndarray,
     gmax: jnp.ndarray,
 ) -> jnp.ndarray:
+    """Per-pixel grain assembly with zero gathers.
+
+    TPU formulation: each block's 8-bit offset random has only 256
+    possible values, so the 256 candidate (block + overlap-margin)
+    windows are cut from the pattern with *static* slices once per
+    frame, and each block selects its window by a one-hot matmul over
+    the 256 axis (MXU work; exact in f32 since |grain| < 2^11).
+    Neighbor windows for overlap blending come from the same selected
+    tensor shifted along the stripe/block axes."""
     b, gh, gw = pattern.shape
     bw = BLOCK >> sub_x
     bh = BLOCK >> sub_y
-    ys = np.arange(h)
-    xs = np.arange(w)
-    sidx = ys // bh  # stripe per row
-    bidx = xs // bw  # block per col
-    iny = jnp.asarray(ys % bh)
-    inx = jnp.asarray(xs % bw)
-
-    rand = offsets  # (B,S,NB)
-    offx_all = 3 + (2 >> sub_x) * (3 + (rand >> 4))
-    offy_all = 3 + (2 >> sub_y) * (3 + (rand & 15))
-
-    def maps(shift_s, shift_b):
-        """Index maps using the block at (stripe - shift_s, block -
-        shift_b); out-of-range neighbors are clamped (masked later)."""
-        s_sel = np.maximum(sidx - shift_s, 0)
-        b_sel = np.maximum(bidx - shift_b, 0)
-        ox = offx_all[:, s_sel][:, :, b_sel]  # (B, h, w)
-        oy = offy_all[:, s_sel][:, :, b_sel]
-        row = oy + iny[None, :, None] + shift_s * bh
-        col = ox + inx[None, None, :] + shift_b * bw
-        return row, col
-
-    def gather(row, col):
-        flat = pattern.reshape(b, gh * gw)
-        idx = jnp.clip(row * gw + col, 0, gh * gw - 1)
-        return jnp.take_along_axis(flat, idx.reshape(b, -1), axis=1).reshape(b, h, w)
-
-    r0, c0 = maps(0, 0)
-    cur = gather(r0, c0)
-
     ov_cols = 2 >> sub_x
     ov_rows = 2 >> sub_y
+    ext_h = bh + ov_rows
+    ext_w = bw + ov_cols
+    stepx = 2 >> sub_x
+    stepy = 2 >> sub_y
+    n_s, n_b = offsets.shape[1], offsets.shape[2]
+
+    # (B, 256, ext_h, ext_w) candidate windows — static slices
+    cands = []
+    for rand in range(256):
+        ox = 3 + stepx * (3 + (rand >> 4))
+        oy = 3 + stepy * (3 + (rand & 15))
+        cands.append(
+            jax.lax.slice(pattern, (0, oy, ox), (b, oy + ext_h, ox + ext_w))
+        )
+    cand = jnp.stack(cands, axis=1).astype(jnp.float32)
+    onehot = (offsets[..., None] == jnp.arange(256, dtype=jnp.int32)).astype(
+        jnp.float32
+    )  # (B, S, NB, 256)
+    sel = jnp.einsum(
+        "bsnm,bmyx->bsnyx", onehot, cand, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (B, S, NB, ext_h, ext_w)
+
+    def blocks_to_plane(blocks):  # (B, S, NB, bh, bw) -> (B, h, w)
+        plane = blocks.transpose(0, 1, 3, 2, 4).reshape(b, n_s * bh, n_b * bw)
+        return plane[:, :h, :w]
+
+    def shift_block_axis(t, axis):
+        """t[:, ..., i, ...] := t[:, ..., i-1, ...] (edge duplicated;
+        masked out by has_left/has_top)."""
+        return jnp.roll(t, 1, axis=axis)
+
+    cur = blocks_to_plane(sel[:, :, :, :bh, :bw])
+    left_sel = shift_block_axis(sel, 2)
+    left_strip = left_sel[:, :, :, :bh, bw : bw + ov_cols]
+    left = blocks_to_plane(
+        jnp.pad(left_strip, ((0, 0), (0, 0), (0, 0), (0, 0), (0, bw - ov_cols)))
+    )
+    top_sel = shift_block_axis(sel, 1)
+    top = blocks_to_plane(
+        jnp.pad(
+            top_sel[:, :, :, bh : bh + ov_rows, :bw],
+            ((0, 0), (0, 0), (0, 0), (0, bh - ov_rows), (0, 0)),
+        )
+    )
+    topleft_sel = shift_block_axis(top_sel, 2)
+    topleft = blocks_to_plane(
+        jnp.pad(
+            topleft_sel[:, :, :, bh : bh + ov_rows, bw : bw + ov_cols],
+            ((0, 0), (0, 0), (0, 0), (0, bh - ov_rows), (0, bw - ov_cols)),
+        )
+    )
+
+    ys = np.arange(h)
+    xs = np.arange(w)
+    sidx = ys // bh
+    bidx = xs // bw
     # per-pixel blend weights, periodic masks
     colpos = xs % bw
     rowpos = ys % bh
@@ -454,16 +514,8 @@ def _noise_plane(
         blended = jnp.clip((old * wx_old + new * wx_new + 16) >> 5, gmin_b, gmax_b)
         return jnp.where(ov & has_left, blended, new)
 
-    rl, cl = maps(0, 1)
-    left = gather(rl, cl)
     cur_h = hblend(left, cur)
-
-    rt, ct = maps(1, 0)
-    top = gather(rt, ct)
-    rtl, ctl = maps(1, 1)
-    topleft = gather(rtl, ctl)
     top_h = hblend(topleft, top)
-
     blended_v = jnp.clip((top_h * wy_old + cur_h * wy_new + 16) >> 5, gmin_b, gmax_b)
     return jnp.where(ov & has_top, blended_v, cur_h)
 
