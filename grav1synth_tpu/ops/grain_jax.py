@@ -591,6 +591,81 @@ def scaling_lookup(
 # Full application
 
 
+def _avg_luma(y: jnp.ndarray, hc: int, wc: int, sub_x: int, sub_y: int) -> jnp.ndarray:
+    """Chroma scaling input: horizontally averaged luma (spec 7.18.3.5;
+    vertical subsampling takes the even rows only)."""
+    w = y.shape[2]
+    ly = y[:, :: 1 << sub_y, :][:, :hc, :]
+    if sub_x:
+        a = ly[:, :, 0 : 2 * wc : 2]
+        if 2 * wc <= w:
+            bb = ly[:, :, 1 : 2 * wc : 2]
+        else:
+            bb = jnp.concatenate([ly[:, :, 1::2], a[:, :, -1:]], axis=2)
+        return (a + bb + 1) >> 1
+    return ly[:, :, :wc]
+
+
+def apply_grain(
+    y,
+    cb,
+    cr,
+    p: GrainParamsBatch,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+    backend: str = "pallas",
+):
+    """Apply film grain to a batch of frames.
+
+    backend="pallas": fused stripe kernels (one launch per plane) — the
+    production path. backend="xla": the pure-XLA formulation (einsum
+    noise assembly), kept as a portable cross-check."""
+    if backend == "pallas":
+        return apply_grain_batch_pallas(
+            y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
+        )
+    return apply_grain_batch(y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome")
+)
+def apply_grain_batch_pallas(
+    y: jnp.ndarray,
+    cb: Optional[jnp.ndarray],
+    cr: Optional[jnp.ndarray],
+    p: GrainParamsBatch,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+):
+    from . import grain_pallas as gp
+
+    y = y.astype(jnp.int32)
+    b, h, w = y.shape
+    luma_pat, cb_pat, cr_pat = generate_patterns(p, bit_depth, sub_x, sub_y, monochrome)
+    offs = block_offsets(p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK)
+    y_out = gp.apply_plane_luma(
+        y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth), bit_depth
+    )
+    if monochrome:
+        return y_out, None, None
+    hc, wc = cb.shape[1], cb.shape[2]
+    avg = _avg_luma(y, hc, wc, sub_x, sub_y)
+    cb_out = gp.apply_plane_chroma(
+        cb.astype(jnp.int32), avg, cb_pat, offs,
+        gp.pack_plane_params(p, "cb", bit_depth), bit_depth, sub_x, sub_y,
+    )
+    cr_out = gp.apply_plane_chroma(
+        cr.astype(jnp.int32), avg, cr_pat, offs,
+        gp.pack_plane_params(p, "cr", bit_depth), bit_depth, sub_x, sub_y,
+    )
+    return y_out, cb_out, cr_out
+
+
 @functools.partial(
     jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome")
 )
@@ -633,17 +708,7 @@ def apply_grain_batch(
         return y_out, None, None
 
     hc, wc = cb.shape[1], cb.shape[2]
-    # average luma for the chroma scaling input (original luma, spec)
-    ly = y[:, :: 1 << sub_y, :][:, :hc, :]
-    if sub_x:
-        a = ly[:, :, 0 : 2 * wc : 2]
-        if 2 * wc <= w:
-            bb = ly[:, :, 1 : 2 * wc : 2]
-        else:
-            bb = jnp.concatenate([ly[:, :, 1::2], a[:, :, -1:]], axis=2)
-        avg_luma = (a + bb + 1) >> 1
-    else:
-        avg_luma = ly[:, :, :wc]
+    avg_luma = _avg_luma(y, hc, wc, sub_x, sub_y)
 
     hi_c = jnp.where(p.clip > 0, 240 << (bit_depth - 8), maxval)[:, None, None]
 
