@@ -1,0 +1,121 @@
+"""Command-line interface: the five subcommands with the reference's UX
+contract (grav1synth src/main.rs:774-890 clap definition): positional
+input(s), -o/--output, -g/--grain, --iso, --chroma, --filters, and -y
+to skip the overwrite confirmation; input==output guards; GRAV1_LOG
+env-based logging with the trace_headers field log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def _setup_logging() -> None:
+    spec = os.environ.get("GRAV1_LOG", "error,grav1synth=info")
+    logging.basicConfig(
+        level=logging.ERROR, format="%(levelname).1s %(name)s: %(message)s"
+    )
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        if "=" in item:
+            name, lvl = item.split("=", 1)
+            logging.getLogger(name.strip()).setLevel(lvl.strip().upper())
+        else:
+            logging.getLogger().setLevel(item.upper())
+
+
+def _check_paths(input_path: str, output_path: str, assume_yes: bool) -> None:
+    if os.path.abspath(input_path) == os.path.abspath(output_path):
+        sys.exit("error: input and output files cannot be the same")
+    if os.path.exists(output_path) and not assume_yes:
+        if not sys.stdin.isatty():
+            sys.exit(
+                f"error: output file {output_path} exists (pass -y to overwrite)"
+            )
+        reply = input(f"Output file {output_path} exists. Overwrite? [y/N] ")
+        if reply.strip().lower() not in ("y", "yes"):
+            sys.exit("aborted")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="grav1synth",
+        description="TPU-native AV1 film grain analyzer and editor",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("inspect", help="write a grain table from a video's grain headers")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True, help="grain table file to write")
+
+    p = sub.add_parser("apply", help="splice a grain table into a video")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-g", "--grain", required=True, help="grain table file to apply")
+    p.add_argument("-y", action="store_true", help="overwrite output without asking")
+
+    p = sub.add_parser("generate", help="add photon-noise grain at a given ISO")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--iso", type=float, required=True, help="ISO setting, e.g. 400")
+    p.add_argument("--chroma", action="store_true", help="generate chroma grain too")
+    p.add_argument("-y", action="store_true")
+
+    p = sub.add_parser("remove", help="strip all grain synthesis from a video")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-y", action="store_true")
+
+    p = sub.add_parser("diff", help="estimate a grain table from source vs denoised")
+    p.add_argument("source")
+    p.add_argument("denoised")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument(
+        "--filters",
+        help="source preprocessing, e.g. "
+        '"crop:top=42;resize:width=1920,height=1080,alg=lanczos"',
+    )
+
+    return ap
+
+
+def main(argv=None) -> int:
+    _setup_logging()
+    args = build_parser().parse_args(argv)
+    from . import pipelines
+
+    if args.command == "inspect":
+        segments = pipelines.inspect(args.input, args.output)
+        if segments is None:
+            print("No film grain headers found")
+        else:
+            print(f"Done, wrote grain table ({len(segments)} segments)")
+    elif args.command == "apply":
+        _check_paths(args.input, args.output, args.y)
+        n = pipelines.apply_table(args.input, args.output, args.grain)
+        print(f"Done, rewrote {n} video packets")
+    elif args.command == "generate":
+        _check_paths(args.input, args.output, args.y)
+        n = pipelines.generate(args.input, args.output, args.iso, args.chroma)
+        print(f"Done, rewrote {n} video packets (ISO {args.iso:g})")
+    elif args.command == "remove":
+        _check_paths(args.input, args.output, args.y)
+        n = pipelines.remove(args.input, args.output)
+        print(f"Done, rewrote {n} video packets")
+    elif args.command == "diff":
+        if os.path.abspath(args.source) == os.path.abspath(args.denoised):
+            sys.exit("error: source and denoised cannot be the same file")
+        segments = pipelines.diff(
+            args.source, args.denoised, args.output, args.filters
+        )
+        print(f"Done, wrote grain table ({len(segments)} segments)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,302 @@
+"""The five pipelines: inspect / apply / generate / remove / diff.
+
+UX and behavior parity with reference grav1synth src/main.rs:147-533,
+over a unified container layer: IVF streams go through the pure reader
+(container/ivf.py); everything else (MKV/MP4/...) through the libav*
+shim with lossless remux of audio/subtitle/metadata/chapter streams.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+from .container import ivf
+from .obu import Av1Parser, GrainAction, GrainRewriter, GrainTableSegment
+from .tables import aggregate_grain_headers, dump_table, load_table
+from .utils.progress import Progress
+
+log = logging.getLogger("grav1synth")
+
+TICKS = 10_000_000
+
+
+def pts_to_av1_ts(pts: int, tb_num: int, tb_den: int) -> int:
+    """FFmpeg pts -> AV1 1/10^7-s ticks, ceiling division (reference
+    parser.rs:103-118)."""
+    if pts < 0 or tb_den == 0:
+        return 0
+    return -(-pts * tb_num * TICKS // tb_den)
+
+
+@dataclass
+class VideoPacket:
+    data: bytes
+    pts: int
+    dts: int
+    duration: int
+    flags: int
+    av1_ts: int
+    stream_index: int = 0
+    is_video: bool = True
+
+
+class VideoFile:
+    """Unified video input: pure-IVF or shim-demuxed."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+        self.is_ivf = magic == ivf.IVF_MAGIC
+        if self.is_ivf:
+            self._header, self._packets = ivf.read_ivf(path)
+            self.time_base = self._header.time_base
+            self.fps = (self._header.timebase_den, self._header.timebase_num)
+            self.width = self._header.width
+            self.height = self._header.height
+            self.nb_frames = len(self._packets)
+            self.bit_depth = 0  # resolved from the sequence header
+            self.transfer = 2
+            self.full_range = False
+            self._demux = None
+        else:
+            from .container.ffshim import Demuxer
+
+            self._demux = Demuxer(path)
+            self.video_stream = self._demux.best_video_stream()
+            info = self._demux.stream_info(self.video_stream)
+            self.time_base = info.time_base
+            self.fps = info.frame_rate
+            self.width = info.width
+            self.height = info.height
+            self.nb_frames = info.nb_frames
+            self.bit_depth = info.bit_depth
+            # AVCOL_TRC / AVCOL_RANGE numerics match AV1's code points
+            self.transfer = info.color_trc
+            self.full_range = info.color_range == 2
+
+    def packets(self) -> Iterator[VideoPacket]:
+        """All packets, with AV1 timestamps attached to video ones."""
+        num, den = self.time_base
+        if self.is_ivf:
+            for p in self._packets:
+                yield VideoPacket(
+                    data=p.data,
+                    pts=p.pts,
+                    dts=p.pts,
+                    duration=1,
+                    flags=0,
+                    av1_ts=pts_to_av1_ts(p.pts, num, den),
+                )
+        else:
+            for p in self._demux.packets():
+                is_video = p.stream_index == self.video_stream
+                yield VideoPacket(
+                    data=p.data,
+                    pts=p.pts,
+                    dts=p.dts,
+                    duration=p.duration,
+                    flags=p.flags,
+                    av1_ts=pts_to_av1_ts(p.pts, num, den) if is_video else 0,
+                    stream_index=p.stream_index,
+                    is_video=is_video,
+                )
+
+    def close(self) -> None:
+        if self._demux is not None:
+            self._demux.close()
+            self._demux = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+
+
+def inspect(
+    input_path: str, output_path: str, progress: bool = True
+) -> Optional[List[GrainTableSegment]]:
+    """Extract per-frame grain parameters into a filmgrn1 table.
+
+    Returns the segments, or None when the stream carries no grain
+    headers at all (reference main.rs:178-184 'no grain' case)."""
+    with VideoFile(input_path) as vf:
+        parser = Av1Parser()
+        headers = []
+        bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
+        for pkt in vf.packets():
+            if not pkt.is_video:
+                continue
+            for obu in parser.parse_packet(pkt.data, pkt.av1_ts):
+                if obu.frame is not None and obu.frame.show_frame:
+                    headers.append(obu.frame.grain)
+                    bar.step()
+        bar.done()
+        if not any(h.action != GrainAction.DISABLE for h in headers):
+            log.info("No film grain headers found in input file")
+            return None
+        fps_num, fps_den = vf.fps
+        segments = aggregate_grain_headers(headers, fps_num, fps_den)
+        dump_table(segments, output_path)
+        log.info("Done, wrote grain table to %s", output_path)
+        return segments
+
+
+def _rewrite(
+    input_path: str,
+    output_path: str,
+    segments: Optional[List[GrainTableSegment]],
+    progress: bool = True,
+) -> int:
+    """Shared apply/generate/remove rewrite loop. Returns frame count."""
+    with VideoFile(input_path) as vf:
+        parser = Av1Parser()
+        rewriter = GrainRewriter(segments)
+        frames = 0
+        bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
+        if vf.is_ivf:
+            writer = ivf.IvfWriter.create(output_path, vf._header)
+            for pkt in vf.packets():
+                parsed = parser.parse_packet(pkt.data, pkt.av1_ts)
+                new_data = rewriter.rewrite_packet(
+                    pkt.data, parsed, pkt.av1_ts, parser.sequence_header
+                )
+                writer.write_packet(ivf.IvfPacket(pkt.pts, new_data))
+                frames += 1
+                bar.step()
+            writer.finalize()
+        else:
+            from .container.ffshim import Packet, Remuxer
+
+            mux = Remuxer(output_path, vf._demux)
+            for pkt in vf.packets():
+                raw = Packet(
+                    pkt.stream_index, pkt.data, pkt.pts, pkt.dts, pkt.duration,
+                    pkt.flags,
+                )
+                if not pkt.is_video:
+                    mux.write(raw)
+                    continue
+                parsed = parser.parse_packet(pkt.data, pkt.av1_ts)
+                new_data = rewriter.rewrite_packet(
+                    pkt.data, parsed, pkt.av1_ts, parser.sequence_header
+                )
+                mux.write(raw, data=new_data)
+                frames += 1
+                bar.step()
+            mux.finish()
+        bar.done()
+        return frames
+
+
+def apply_table(
+    input_path: str, output_path: str, table_path: str, progress: bool = True
+) -> int:
+    segments = load_table(table_path)
+    n = _rewrite(input_path, output_path, segments, progress)
+    log.info("Done, wrote output file to %s", output_path)
+    return n
+
+
+def remove(input_path: str, output_path: str, progress: bool = True) -> int:
+    n = _rewrite(input_path, output_path, None, progress)
+    log.info("Done, wrote output file to %s", output_path)
+    return n
+
+
+def generate(
+    input_path: str,
+    output_path: str,
+    iso: float,
+    chroma: bool = False,
+    progress: bool = True,
+) -> int:
+    """Photon-noise grain from stream properties (reference
+    main.rs:245-311: width/height/transfer/range pulled from the input;
+    SMPTE2084 -> PQ model, otherwise BT.1886)."""
+    from .ops.photon_noise import photon_noise_segment
+
+    with VideoFile(input_path) as vf:
+        width, height = vf.width, vf.height
+        transfer = "smpte2084" if vf.transfer == 16 else "bt1886"
+        if not width or not height:
+            # IVF headers can be zeroed; pull dims from the sequence header
+            parser = Av1Parser()
+            for pkt in vf.packets():
+                if pkt.is_video:
+                    for obu in parser.parse_packet(pkt.data, pkt.av1_ts):
+                        if obu.seq is not None:
+                            width = obu.seq.max_frame_width
+                            height = obu.seq.max_frame_height
+                            break
+                if width:
+                    break
+    seg = photon_noise_segment(iso, width, height, transfer, chroma)
+    n = _rewrite(input_path, output_path, [seg], progress)
+    log.info("Done, wrote output file to %s", output_path)
+    return n
+
+
+def diff(
+    source_path: str,
+    denoised_path: str,
+    output_path: str,
+    filters: Optional[str] = None,
+    progress: bool = True,
+) -> List[GrainTableSegment]:
+    """Estimate a grain table from a grainy source and a denoised copy
+    (both decoded to pixels via the shim's dav1d path)."""
+    from .container.ffshim import Decoder
+    from .ops.diff_estimate import DiffEstimator
+    from .utils.filters import FilterChain
+
+    chain = FilterChain.parse(filters) if filters else None
+
+    with VideoFile(source_path) as vs, VideoFile(denoised_path) as vd:
+        fps = vs.fps
+
+        def frames_of(vf):
+            dec = Decoder("libdav1d", apply_grain=False)
+            return dec.decode_all(
+                (p.data, p.pts) for p in vf.packets() if p.is_video
+            )
+
+        src_it = frames_of(vs)
+        den_it = frames_of(vd)
+        est: Optional[DiffEstimator] = None
+        bar = Progress(total=vs.nb_frames or None, enabled=progress, unit="fr")
+        n = 0
+        while True:
+            sf = next(src_it, None)
+            df = next(den_it, None)
+            if sf is None or df is None:
+                if (sf is None) != (df is None):
+                    log.warning(
+                        "source and denoised have different frame counts; "
+                        "stopping at the shorter stream"
+                    )
+                break
+            src_planes = sf.planes
+            if chain is not None:
+                src_planes = chain.apply(src_planes, sf.bit_depth)
+            if est is None:
+                est = DiffEstimator(
+                    fps,
+                    source_bit_depth=sf.bit_depth,
+                    denoised_bit_depth=df.bit_depth,
+                )
+            est.diff_frame(src_planes, df.planes)
+            n += 1
+            bar.step()
+        bar.done()
+        segments = est.finish() if est is not None else []
+        dump_table(segments, output_path)
+        log.info("Done, wrote grain table to %s (%d frames)", output_path, n)
+        return segments

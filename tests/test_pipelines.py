@@ -1,0 +1,167 @@
+"""End-to-end pipeline tests over real libaom-encoded IVF files.
+
+The round-trip oracles mirror the reference's integration tier
+(sanity_tests.rs): apply -> re-inspect reports grain; remove ->
+re-inspect reports none; outputs stay dav1d-decodable and pixel-
+lossless under grain-off decode.
+"""
+
+import numpy as np
+import pytest
+
+from av1_builder import sample_grain_params
+from grav1synth_tpu import pipelines
+from grav1synth_tpu.container.ffshim import Decoder, Encoder
+from grav1synth_tpu.container.ivf import IvfHeader, IvfPacket, write_ivf
+from grav1synth_tpu.obu import GrainTableSegment
+from grav1synth_tpu.tables import dump_table, load_table
+
+
+@pytest.fixture(scope="session")
+def real_ivf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("vid") / "real.ivf"
+    rng = np.random.default_rng(11)
+    frames = []
+    for i in range(8):
+        y = (
+            np.linspace(0, 200, 64)[None, :]
+            + np.linspace(0, 40, 64)[:, None]
+            + rng.normal(0, 3, (64, 64))
+            + i * 3
+        ).clip(0, 255).astype(np.uint8)
+        u = np.full((32, 32), 120, np.uint8)
+        v = np.full((32, 32), 130, np.uint8)
+        frames.append((y, u, v))
+    enc = Encoder(64, 64, 8)
+    pkts = enc.encode_frames(frames)
+    enc.close()
+    write_ivf(
+        str(path),
+        IvfHeader(width=64, height=64, timebase_den=24, timebase_num=1, frame_count=len(pkts)),
+        [IvfPacket(p.pts, p.data) for p in pkts],
+    )
+    return str(path)
+
+
+@pytest.fixture()
+def grain_table(tmp_path):
+    path = tmp_path / "grain.tbl"
+    seg = GrainTableSegment(0, 10**13, sample_grain_params(seed=4321))
+    dump_table([seg], str(path))
+    return str(path)
+
+
+def _decode(path, apply_grain=False):
+    from grav1synth_tpu.container.ivf import read_ivf
+
+    _, pkts = read_ivf(path)
+    dec = Decoder("libdav1d", apply_grain=apply_grain)
+    frames = list(dec.decode_all([(p.data, p.pts) for p in pkts]))
+    dec.close()
+    return frames
+
+
+class TestInspect:
+    def test_no_grain_returns_none(self, real_ivf, tmp_path):
+        out = tmp_path / "t.tbl"
+        assert pipelines.inspect(real_ivf, str(out), progress=False) is None
+
+    def test_inspect_after_apply(self, real_ivf, grain_table, tmp_path):
+        grainy = tmp_path / "grainy.ivf"
+        pipelines.apply_table(real_ivf, str(grainy), grain_table, progress=False)
+        out = tmp_path / "t.tbl"
+        segments = pipelines.inspect(str(grainy), str(out), progress=False)
+        assert segments is not None and len(segments) == 1
+        orig = load_table(grain_table)[0]
+        got = segments[0].params
+        assert got.scaling_points_y == orig.params.scaling_points_y
+        assert got.ar_coeffs_y == orig.params.ar_coeffs_y
+        # the table re-read round-trips through the text format
+        reread = load_table(str(out))
+        assert reread[0].params.equal_ignoring_seed(got)
+
+
+class TestApplyRemove:
+    def test_apply_lossless_and_decodable(self, real_ivf, grain_table, tmp_path):
+        grainy = tmp_path / "grainy.ivf"
+        n = pipelines.apply_table(real_ivf, str(grainy), grain_table, progress=False)
+        assert n == 8
+        base = _decode(real_ivf)
+        nograin = _decode(str(grainy), apply_grain=False)
+        withgrain = _decode(str(grainy), apply_grain=True)
+        assert len(nograin) == len(withgrain) == len(base) == 8
+        for a, b in zip(base, nograin):
+            assert (a.planes[0] == b.planes[0]).all()
+        assert any(
+            (a.planes[0] != b.planes[0]).any()
+            for a, b in zip(nograin, withgrain)
+        )
+
+    def test_remove_roundtrip(self, real_ivf, grain_table, tmp_path):
+        grainy = tmp_path / "grainy.ivf"
+        clean = tmp_path / "clean.ivf"
+        pipelines.apply_table(real_ivf, str(grainy), grain_table, progress=False)
+        pipelines.remove(str(grainy), str(clean), progress=False)
+        out = tmp_path / "t.tbl"
+        assert pipelines.inspect(str(clean), str(out), progress=False) is None
+        a = _decode(str(clean), apply_grain=True)
+        b = _decode(str(clean), apply_grain=False)
+        for x, y in zip(a, b):
+            assert (x.planes[0] == y.planes[0]).all()
+
+
+class TestGenerate:
+    def test_generate_iso(self, real_ivf, tmp_path):
+        out = tmp_path / "iso.ivf"
+        n = pipelines.generate(real_ivf, str(out), iso=1600, progress=False)
+        assert n == 8
+        tbl = tmp_path / "t.tbl"
+        segments = pipelines.inspect(str(out), str(tbl), progress=False)
+        assert segments is not None
+        pts = segments[0].params.scaling_points_y
+        assert len(pts) >= 4
+        # dav1d synthesizes visible noise from the generated params
+        nograin = _decode(str(out), apply_grain=False)
+        withgrain = _decode(str(out), apply_grain=True)
+        diffs = [
+            (b.planes[0].astype(int) - a.planes[0].astype(int)).std()
+            for a, b in zip(nograin, withgrain)
+        ]
+        assert max(diffs) > 0.3
+
+
+class TestDiff:
+    def test_diff_recovers_noise_curve(self, tmp_path):
+        rng = np.random.default_rng(3)
+        w = h = 128
+        n = 12
+        clean_frames = []
+        noisy_frames = []
+        for i in range(n):
+            y = np.full((h, w), 60 + (i % 3), np.uint8)
+            y[:, w // 2 :] = 180 + (i % 3)
+            u = np.full((h // 2, w // 2), 128, np.uint8)
+            v = u.copy()
+            clean_frames.append((y, u, v))
+            noise = rng.normal(0, 6.0, (h, w))
+            yn = np.clip(y.astype(float) + noise, 0, 255).astype(np.uint8)
+            noisy_frames.append((yn, u, v))
+        enc = Encoder(w, h, 8, extra_opts="crf=10")
+        noisy_pkts = enc.encode_frames(noisy_frames)
+        enc.close()
+        enc = Encoder(w, h, 8, extra_opts="crf=10")
+        clean_pkts = enc.encode_frames(clean_frames)
+        enc.close()
+        src = tmp_path / "src.ivf"
+        den = tmp_path / "den.ivf"
+        hdr = IvfHeader(width=w, height=h, timebase_den=24, timebase_num=1)
+        write_ivf(str(src), hdr, [IvfPacket(p.pts, p.data) for p in noisy_pkts])
+        write_ivf(str(den), hdr, [IvfPacket(p.pts, p.data) for p in clean_pkts])
+        out = tmp_path / "diff.tbl"
+        segments = pipelines.diff(str(src), str(den), str(out), progress=False)
+        assert len(segments) >= 1
+        p = segments[0].params
+        assert len(p.scaling_points_y) >= 2
+        # noise was flat across intensity: curve should be roughly flat
+        ys = [y for _, y in p.scaling_points_y]
+        assert max(ys) > 0
