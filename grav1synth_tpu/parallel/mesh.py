@@ -1,0 +1,134 @@
+"""Mesh construction and the sharded grain-application step.
+
+Sharding model (SURVEY §5 mapping): the video time axis is the
+parallel dimension. Frames batch-shard across the mesh's ``data`` axis
+(each chip applies grain to its frame shard; pattern generation is
+per-frame so it shards identically). The only cross-device data
+dependencies are reductions over per-frame statistics — noise energy /
+applied-frame counts — realized as psums inside the jitted step, and
+grain-table/diff-statistic exchange, which ride all-gathers (or the
+host-side associative merge in tables.aggregate for multi-process
+runs). Bitstream bytes never cross devices: demux/remux stay host-local
+per shard (reference's packet loop becomes per-host work).
+
+Multi-host: `jax.distributed.initialize()` before building the mesh
+makes the same code span a pod slice; the mesh axis then covers all
+processes' devices and psums ride ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..obu.types import FilmGrainParams
+from ..ops import grain_jax
+from ..ops.grain_jax import GrainParamsBatch
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D device mesh over the frame/batch axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_batch(
+    planes: Sequence[np.ndarray], params: List[FilmGrainParams], n: int
+) -> Tuple[List[np.ndarray], List[FilmGrainParams], int]:
+    """Pad a frame batch to a multiple of the mesh size (padded frames
+    replicate the last frame and are dropped after the step)."""
+    b = planes[0].shape[0]
+    pad = (-b) % n
+    if pad == 0:
+        return list(planes), params, b
+    planes_p = [np.concatenate([pl, np.repeat(pl[-1:], pad, 0)], 0) for pl in planes]
+    params_p = params + [params[-1]] * pad
+    return planes_p, params_p, b
+
+
+def _apply_step(y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome, backend, axis):
+    y2, cb2, cr2 = grain_jax.apply_grain(
+        y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome, backend=backend
+    )
+    # cross-shard QC statistics: global reductions over the sharded
+    # batch axis; under jit+shardings the GSPMD partitioner lowers these
+    # to all-reduce collectives over the mesh (ICI/DCN)
+    d = (y2 - y).astype(jnp.float32)
+    energy = jnp.sum(d * d)
+    frames = jnp.sum(jnp.ones((y.shape[0],), jnp.float32))
+    return y2, cb2, cr2, energy, frames
+
+
+def sharded_apply_with_stats(
+    mesh: Mesh,
+    y: jnp.ndarray,
+    cb: Optional[jnp.ndarray],
+    cr: Optional[jnp.ndarray],
+    p: GrainParamsBatch,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+    backend: str = "pallas",
+):
+    """Apply grain with frames sharded over the mesh; returns
+    (y', cb', cr', noise_energy, frame_count) with outputs sharded like
+    the inputs and scalars replicated."""
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    fn = functools.partial(
+        _apply_step,
+        bit_depth=bit_depth,
+        sub_x=sub_x,
+        sub_y=sub_y,
+        monochrome=monochrome,
+        backend=backend,
+        axis=axis,
+    )
+    plane_in = shard if not monochrome else None
+    in_shardings = (shard, plane_in, plane_in, repl)
+    out_shardings = (
+        shard,
+        None if monochrome else shard,
+        None if monochrome else shard,
+        repl,
+        repl,
+    )
+    jitted = jax.jit(
+        fn, in_shardings=in_shardings, out_shardings=out_shardings
+    )
+    with mesh:
+        return jitted(y, cb, cr, p)
+
+
+def sharded_apply(mesh: Mesh, y, cb, cr, p, bit_depth, **kw):
+    """Sharded apply without the stats tuple."""
+    y2, cb2, cr2, _, _ = sharded_apply_with_stats(
+        mesh, y, cb, cr, p, bit_depth, **kw
+    )
+    return y2, cb2, cr2
+
+
+def frame_shards(n_frames: int, n_shards: int) -> List[Tuple[int, int]]:
+    """Contiguous [start, end) frame ranges for multi-process sharding
+    of inspect/diff. Shard boundaries should then be snapped to
+    keyframes by the caller so per-shard parser state is self-contained
+    (SURVEY §5: state machines are GOP-local)."""
+    base = n_frames // n_shards
+    rem = n_frames % n_shards
+    out = []
+    start = 0
+    for i in range(n_shards):
+        size = base + (1 if i < rem else 0)
+        out.append((start, start + size))
+        start += size
+    return out
