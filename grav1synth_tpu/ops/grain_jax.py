@@ -312,21 +312,23 @@ def _ar_filter_chroma(
     flat = jnp.concatenate(
         [pattern.reshape(b, ch * cw), jnp.zeros((b, 1), jnp.int32)], axis=1
     )
-    luma_flat = luma.reshape(b, GRAIN_H * GRAIN_W)
     rel = jnp.asarray([dr * cw + dc for dr, dc in LAG3_OFFSETS], dtype=jnp.int32)
-    # collocated luma average per chroma position, precomputed in full
-    # (parallel; depends only on the already-final luma pattern)
-    ys, xs = np.mgrid[0:ch, 0:cw]
-    ly = np.minimum(((ys - 3) << sub_y) + 3, GRAIN_H - 1 - sub_y)
-    lx = np.minimum(((xs - 3) << sub_x) + 3, GRAIN_W - 1 - sub_x)
-    luma_base = jnp.asarray((ly * GRAIN_W + lx).ravel())
-    luma_rel = np.asarray(
-        [i * GRAIN_W + j for i in range(sub_y + 1) for j in range(sub_x + 1)],
-        dtype=np.int32,
+    # collocated luma average per chroma position, via strided slices
+    # (no gathers): for the filtered region y in [3, ch), x in [3, cw-3)
+    # the luma anchor walks rows/cols 3::2^sub
+    step_y, step_x = 1 << sub_y, 1 << sub_x
+    n_rows, n_cols = ch - 3, cw - 6
+    acc = jnp.zeros((b, n_rows, n_cols), jnp.int32)
+    for i in range(sub_y + 1):
+        for j in range(sub_x + 1):
+            sl = luma[:, 3 + i :: step_y, 3 + j :: step_x]
+            acc = acc + sl[:, :n_rows, :n_cols]
+    avg_region = round2(acc, sub_x + sub_y)
+    avg_grid = jnp.zeros((b, ch, cw), jnp.int32)
+    avg_grid = avg_grid.at[:, 3:, 3 : cw - 3].set(avg_region)
+    avg_full = jnp.concatenate(
+        [avg_grid.reshape(b, ch * cw), jnp.zeros((b, 1), jnp.int32)], axis=1
     )
-    lsamp = luma_flat[:, luma_base[:, None] + jnp.asarray(luma_rel)[None, :]]
-    avg_full = round2(jnp.sum(lsamp, axis=2), sub_x + sub_y)  # (B, ch*cw)
-    avg_full = jnp.concatenate([avg_full, jnp.zeros((b, 1), jnp.int32)], axis=1)
 
     add = (1 << jnp.maximum(ar_shift - 1, 0))[:, None]
     shift = ar_shift[:, None]
@@ -616,17 +618,44 @@ def apply_grain(
     sub_y: int = 1,
     monochrome: bool = False,
     backend: str = "pallas",
+    host_params=None,
 ):
     """Apply film grain to a batch of frames.
 
     backend="pallas": fused stripe kernels (one launch per plane) — the
     production path. backend="xla": the pure-XLA formulation (einsum
-    noise assembly), kept as a portable cross-check."""
-    if backend == "pallas":
-        return apply_grain_batch_pallas(
-            y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
+    noise assembly), kept as a portable cross-check.
+
+    ``host_params``: optional list of FilmGrainParams matching ``p``;
+    when given, the tiny grain patterns are generated by the native C++
+    recurrence on host (~0.2 ms/frame, ~26 KB/frame upload) instead of
+    the on-device scan — the preferred production split: the per-pixel
+    work stays on device, the scalar recurrence runs native."""
+    if host_params is not None:
+        from ..container.ffshim import generate_patterns_native
+
+        lp, cbp, crp = generate_patterns_native(
+            host_params, bit_depth, sub_x, sub_y, monochrome
         )
-    return apply_grain_batch(y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome)
+        lp = jnp.asarray(lp)
+        cbp = None if cbp is None else jnp.asarray(cbp)
+        crp = None if crp is None else jnp.asarray(crp)
+        pats = (lp, cbp, crp)
+    else:
+        pats = None
+    if backend == "pallas":
+        if pats is None:
+            return apply_grain_batch_pallas(
+                y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
+            )
+        return _apply_pallas_with_patterns(
+            y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome
+        )
+    if pats is None:
+        return apply_grain_batch(y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome)
+    return _apply_xla_with_patterns(
+        y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome
+    )
 
 
 @functools.partial(
@@ -642,11 +671,32 @@ def apply_grain_batch_pallas(
     sub_y: int = 1,
     monochrome: bool = False,
 ):
+    luma_pat, cb_pat, cr_pat = generate_patterns(p, bit_depth, sub_x, sub_y, monochrome)
+    return _apply_pallas_with_patterns(
+        y, cb, cr, luma_pat, cb_pat, cr_pat, p, bit_depth, sub_x, sub_y, monochrome
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome")
+)
+def _apply_pallas_with_patterns(
+    y,
+    cb,
+    cr,
+    luma_pat,
+    cb_pat,
+    cr_pat,
+    p: GrainParamsBatch,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+):
     from . import grain_pallas as gp
 
     y = y.astype(jnp.int32)
     b, h, w = y.shape
-    luma_pat, cb_pat, cr_pat = generate_patterns(p, bit_depth, sub_x, sub_y, monochrome)
     offs = block_offsets(p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK)
     y_out = gp.apply_plane_luma(
         y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth), bit_depth
@@ -680,11 +730,32 @@ def apply_grain_batch(
     monochrome: bool = False,
 ):
     """Apply film grain to a batch of frames. Returns (y', cb', cr')."""
-    y = y.astype(jnp.int32)
-    b, h, w = y.shape
     luma_pat, cb_pat, cr_pat = generate_patterns(
         p, bit_depth, sub_x, sub_y, monochrome
     )
+    return _apply_xla_with_patterns(
+        y, cb, cr, luma_pat, cb_pat, cr_pat, p, bit_depth, sub_x, sub_y, monochrome
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome")
+)
+def _apply_xla_with_patterns(
+    y: jnp.ndarray,
+    cb: Optional[jnp.ndarray],
+    cr: Optional[jnp.ndarray],
+    luma_pat: jnp.ndarray,
+    cb_pat: Optional[jnp.ndarray],
+    cr_pat: Optional[jnp.ndarray],
+    p: GrainParamsBatch,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+):
+    y = y.astype(jnp.int32)
+    b, h, w = y.shape
     grain_center = 128 << (bit_depth - 8)
     gmin = jnp.full_like(p.seed, -grain_center)
     gmax = jnp.full_like(p.seed, grain_center - 1)
