@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-y", action="store_true")
 
+    p = sub.add_parser(
+        "estimate",
+        help="(experimental) estimate noise from a single input, no reference",
+    )
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--raw", help="also write raw per-frame sigma estimates here")
+
     p = sub.add_parser("diff", help="estimate a grain table from source vs denoised")
     p.add_argument("source")
     p.add_argument("denoised")
@@ -107,6 +115,9 @@ def main(argv=None) -> int:
         _check_paths(args.input, args.output, args.y)
         n = pipelines.remove(args.input, args.output)
         print(f"Done, rewrote {n} video packets")
+    elif args.command == "estimate":
+        segments = pipelines.estimate(args.input, args.output, args.raw)
+        print(f"Done, wrote grain table ({len(segments)} segments)")
     elif args.command == "diff":
         if os.path.abspath(args.source) == os.path.abspath(args.denoised):
             sys.exit("error: source and denoised cannot be the same file")

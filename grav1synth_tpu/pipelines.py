@@ -300,3 +300,38 @@ def diff(
         dump_table(segments, output_path)
         log.info("Done, wrote grain table to %s (%d frames)", output_path, n)
         return segments
+
+
+def estimate(
+    input_path: str,
+    output_path: str,
+    raw_output: Optional[str] = None,
+    progress: bool = True,
+) -> List[GrainTableSegment]:
+    """Single-input noise estimation (experimental; completes the
+    reference's half-finished unstable pipeline, main.rs:534-608):
+    writes a grain table, and optionally the raw per-frame sigma
+    estimates the reference emitted."""
+    from .container.ffshim import Decoder
+    from .ops.estimate import NoiseEstimator
+
+    with VideoFile(input_path) as vf:
+        dec = Decoder("libdav1d", apply_grain=True)
+        est: Optional[NoiseEstimator] = None
+        bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
+        for frame in dec.decode_all(
+            (p.data, p.pts) for p in vf.packets() if p.is_video
+        ):
+            if est is None:
+                est = NoiseEstimator(vf.fps, frame.bit_depth)
+            est.push_frame(frame.planes[0])
+            bar.step()
+        bar.done()
+    segments = est.finish() if est is not None else []
+    dump_table(segments, output_path)
+    if raw_output and est is not None:
+        with open(raw_output, "w") as fh:
+            for i, s in enumerate(est.per_frame_sigma):
+                fh.write(f"{i} {s:.4f}\n")
+    log.info("Done, wrote grain table to %s", output_path)
+    return segments

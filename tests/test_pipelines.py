@@ -165,3 +165,52 @@ class TestDiff:
         # noise was flat across intensity: curve should be roughly flat
         ys = [y for _, y in p.scaling_points_y]
         assert max(ys) > 0
+
+
+class TestEstimate:
+    def test_estimate_single_input(self, tmp_path):
+        rng = np.random.default_rng(7)
+        frames = []
+        for i in range(6):
+            y = np.clip(
+                np.full((128, 128), 100.0) + rng.normal(0, 8.0, (128, 128)), 0, 255
+            ).astype(np.uint8)
+            u = np.full((64, 64), 128, np.uint8)
+            frames.append((y, u, u.copy()))
+        enc = Encoder(128, 128, 8, extra_opts="crf=10")
+        pkts = enc.encode_frames(frames)
+        enc.close()
+        src = tmp_path / "in.ivf"
+        write_ivf(
+            str(src),
+            IvfHeader(width=128, height=128, timebase_den=24, timebase_num=1),
+            [IvfPacket(p.pts, p.data) for p in pkts],
+        )
+        out = tmp_path / "est.tbl"
+        raw = tmp_path / "est.raw"
+        segments = pipelines.estimate(str(src), str(out), str(raw), progress=False)
+        assert len(segments) == 1
+        assert len(segments[0].params.scaling_points_y) >= 1
+        lines = open(raw).read().splitlines()
+        assert len(lines) == 6
+        sigmas = [float(l.split()[1]) for l in lines]
+        # injected sigma 8; encoder smooths some of it; broad sanity band
+        assert 2.0 < np.mean(sigmas) < 16.0
+
+
+class TestCli:
+    def test_cli_inspect_apply(self, real_ivf, grain_table, tmp_path, capsys):
+        from grav1synth_tpu.cli import main
+
+        out = tmp_path / "o.ivf"
+        assert main(["apply", real_ivf, "-o", str(out), "-g", grain_table, "-y"]) == 0
+        tbl = tmp_path / "o.tbl"
+        assert main(["inspect", str(out), "-o", str(tbl)]) == 0
+        captured = capsys.readouterr().out
+        assert "wrote grain table" in captured
+
+    def test_cli_guard_same_path(self, real_ivf):
+        from grav1synth_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["remove", real_ivf, "-o", real_ivf])
