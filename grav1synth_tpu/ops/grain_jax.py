@@ -334,17 +334,27 @@ def _ar_filter_chroma(
     shift = ar_shift[:, None]
     luma_coeff = (coeffs[:, 24] * (num_y > 0))[:, None]
     spatial = coeffs[:, :24]
+    # Fold the collocated-luma term into the window gather itself: the
+    # carry is [pattern || luma_coeff * avg], and the luma contribution
+    # becomes a 25th window offset (n + 1, the same position in the
+    # second half) with unit coefficient — the scan body is then
+    # structurally identical to the (hardware-verified) luma filter.
+    n1 = ch * cw + 1
+    carry0 = jnp.concatenate([flat, luma_coeff * avg_full], axis=1)
+    rel25 = jnp.concatenate([rel, jnp.asarray([n1], jnp.int32)])
+    coeffs25 = jnp.concatenate([spatial, jnp.ones((b, 1), jnp.int32)], axis=1)
 
     def step(carry, pos):
-        window = carry[:, pos[:, None] + rel[None, :]]
-        s = jnp.einsum("bpk,bk->bp", window, spatial, preferred_element_type=jnp.int32)
-        s = s + luma_coeff * avg_full[:, pos]
+        window = carry[:, pos[:, None] + rel25[None, :]]
+        s = jnp.einsum(
+            "bpk,bk->bp", window, coeffs25, preferred_element_type=jnp.int32
+        )
         v = carry[:, pos] + ((s + add) >> shift)
         v = jnp.clip(v, gmin[:, None], gmax[:, None])
         return carry.at[:, pos].set(v), None
 
-    flat, _ = jax.lax.scan(step, flat, jnp.asarray(positions))
-    return flat[:, : ch * cw].reshape(b, ch, cw)
+    carry, _ = jax.lax.scan(step, carry0, jnp.asarray(positions))
+    return carry[:, : ch * cw].reshape(b, ch, cw)
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome"))
