@@ -47,7 +47,10 @@ def measure_tpu_fps() -> float:
     from grav1synth_tpu.ops import grain_jax
 
     backend = os.environ.get("GRAV1_BENCH_BACKEND", "pallas")
-    pb = grain_jax.pack_params(_params(B))
+    patterns = os.environ.get("GRAV1_BENCH_PATTERNS", "host")
+    params = _params(B)
+    pb = grain_jax.pack_params(params)
+    host_params = params if patterns == "host" else None
     rng = np.random.default_rng(0)
     maxv = (1 << BIT_DEPTH) - 1
     y = jnp.asarray(rng.integers(0, maxv, (B, H, W), dtype=np.int32))
@@ -56,7 +59,8 @@ def measure_tpu_fps() -> float:
 
     def apply(y_in):
         out = grain_jax.apply_grain(
-            y_in, cb, cr, pb, BIT_DEPTH, 1, 1, False, backend=backend
+            y_in, cb, cr, pb, BIT_DEPTH, 1, 1, False,
+            backend=backend, host_params=host_params,
         )
         return out[0]
 
@@ -103,7 +107,7 @@ def measure_dav1d_baseline_fps() -> float:
             )
             u = np.full((H // 2, W // 2), 512, np.uint16)
             frames.append((yv, u, u.copy()))
-        enc = Encoder(W, H, 10, extra_opts="cpu-used=9")
+        enc = Encoder(W, H, 10, extra_opts="cpu-used=8")
         pkts = enc.encode_frames(frames)
         enc.close()
         seg = GrainTableSegment(0, 10**14, _params(1)[0])

@@ -21,6 +21,7 @@ panics on them).
 from __future__ import annotations
 
 import copy
+import dataclasses
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -230,12 +231,24 @@ class GrainRewriter:
             if seg.start_time <= packet_ts < seg.end_time:
                 self._match_counts[i] += 1
                 k = self._match_counts[i]
-                params = copy.deepcopy(seg.params)
-                params.grain_seed = (
-                    seg.params.grain_seed + k * DEFAULT_GRAIN_SEED
-                ) & 0xFFFF
+                # shallow copy: only the seed differs per frame, and the
+                # shared point/coefficient lists are never mutated
+                params = dataclasses.replace(
+                    seg.params,
+                    grain_seed=(seg.params.grain_seed + k * DEFAULT_GRAIN_SEED)
+                    & 0xFFFF,
+                )
                 return params
         return None
+
+    def seed_match_counts(self) -> List[int]:
+        """Per-segment frame-match counters. For deterministic sharded
+        rewriting, a shard covering frames after another shard seeds its
+        rewriter with the predecessor's counts via set_match_counts."""
+        return list(self._match_counts)
+
+    def set_match_counts(self, counts: List[int]) -> None:
+        self._match_counts = list(counts)
 
     def rewrite_packet(
         self,

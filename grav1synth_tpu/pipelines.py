@@ -154,8 +154,36 @@ def _rewrite(
     output_path: str,
     segments: Optional[List[GrainTableSegment]],
     progress: bool = True,
+    verify: Optional[bool] = None,
 ) -> int:
-    """Shared apply/generate/remove rewrite loop. Returns frame count."""
+    """Shared apply/generate/remove rewrite loop. Returns frame count.
+
+    ``verify`` re-parses every rewritten packet with an independent
+    parser and asserts the grain state round-trips (the reference's
+    write-mode debug re-parse, parser.rs:364-409); defaults on when
+    GRAV1_VERIFY=1 or field tracing is enabled."""
+    from .utils.trace import tracing_enabled
+
+    if verify is None:
+        verify = bool(os.environ.get("GRAV1_VERIFY")) or tracing_enabled()
+    check_parser = Av1Parser() if verify else None
+
+    def _check(new_data: bytes, ts: int) -> None:
+        if check_parser is None:
+            return
+        for obu in check_parser.parse_packet(new_data, ts):
+            if obu.seq is not None:
+                want = segments is not None
+                if obu.seq.film_grain_params_present != want:
+                    raise AssertionError(
+                        "rewrite self-check: sequence grain flag mismatch"
+                    )
+            if obu.frame is not None and segments is None:
+                if obu.frame.grain.action != GrainAction.DISABLE:
+                    raise AssertionError(
+                        "rewrite self-check: grain present after remove"
+                    )
+
     with VideoFile(input_path) as vf:
         parser = Av1Parser()
         rewriter = GrainRewriter(segments)
@@ -168,6 +196,7 @@ def _rewrite(
                 new_data = rewriter.rewrite_packet(
                     pkt.data, parsed, pkt.av1_ts, parser.sequence_header
                 )
+                _check(new_data, pkt.av1_ts)
                 writer.write_packet(ivf.IvfPacket(pkt.pts, new_data))
                 frames += 1
                 bar.step()
@@ -188,6 +217,7 @@ def _rewrite(
                 new_data = rewriter.rewrite_packet(
                     pkt.data, parsed, pkt.av1_ts, parser.sequence_header
                 )
+                _check(new_data, pkt.av1_ts)
                 mux.write(raw, data=new_data)
                 frames += 1
                 bar.step()

@@ -214,3 +214,37 @@ class TestCli:
 
         with pytest.raises(SystemExit):
             main(["remove", real_ivf, "-o", real_ivf])
+
+
+class TestMkv:
+    def test_mkv_roundtrip(self, real_ivf, grain_table, tmp_path):
+        """apply on an MKV container: remux keeps the stream decodable
+        and the grain lands (shim demux/remux path)."""
+        from grav1synth_tpu.container.ffshim import Demuxer, Remuxer
+
+        mkv_in = tmp_path / "in.mkv"
+        with Demuxer(real_ivf) as dm:
+            mux = Remuxer(str(mkv_in), dm)
+            for pkt in dm.packets():
+                mux.write(pkt)
+            mux.finish()
+
+        mkv_out = tmp_path / "out.mkv"
+        n = pipelines.apply_table(str(mkv_in), str(mkv_out), grain_table, progress=False)
+        assert n == 8
+        tbl = tmp_path / "t.tbl"
+        segments = pipelines.inspect(str(mkv_out), str(tbl), progress=False)
+        assert segments is not None and len(segments) == 1
+        # decodable via the demuxer path
+        from grav1synth_tpu.container.ffshim import Decoder
+
+        with Demuxer(str(mkv_out)) as dm:
+            vs = dm.best_video_stream()
+            dec = Decoder("libdav1d", apply_grain=True)
+            frames = list(
+                dec.decode_all(
+                    (p.data, p.pts) for p in dm.packets() if p.stream_index == vs
+                )
+            )
+            dec.close()
+        assert len(frames) == 8
