@@ -708,22 +708,24 @@ def _apply_pallas_with_patterns(
     y = y.astype(jnp.int32)
     b, h, w = y.shape
     offs = block_offsets(p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK)
-    y_out = gp.apply_plane_luma(
-        y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth), bit_depth
-    )
     if monochrome:
+        y_out = gp.apply_plane_luma(
+            y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth), bit_depth
+        )
         return y_out, None, None
     hc, wc = cb.shape[1], cb.shape[2]
     avg = _avg_luma(y, hc, wc, sub_x, sub_y)
-    cb_out = gp.apply_plane_chroma(
-        cb.astype(jnp.int32), avg, cb_pat, offs,
-        gp.pack_plane_params(p, "cb", bit_depth), bit_depth, sub_x, sub_y,
+    params3 = jnp.concatenate(
+        [
+            gp.pack_plane_params(p, "y", bit_depth),
+            gp.pack_plane_params(p, "cb", bit_depth),
+            gp.pack_plane_params(p, "cr", bit_depth),
+        ]
     )
-    cr_out = gp.apply_plane_chroma(
-        cr.astype(jnp.int32), avg, cr_pat, offs,
-        gp.pack_plane_params(p, "cr", bit_depth), bit_depth, sub_x, sub_y,
+    return gp.apply_planes_fused(
+        y, cb.astype(jnp.int32), cr.astype(jnp.int32), avg,
+        luma_pat, cb_pat, cr_pat, offs, params3, bit_depth, sub_x, sub_y,
     )
-    return y_out, cb_out, cr_out
 
 
 @functools.partial(

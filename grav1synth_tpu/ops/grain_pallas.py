@@ -152,15 +152,21 @@ def _block_noise(
     blk,
     sub_x: int,
     sub_y: int,
+    prow=None,
 ):
-    """One block's (bh, bw) grain with overlap blending applied."""
+    """One block's (bh, bw) grain with overlap blending applied.
+
+    ``bi`` indexes the per-frame offsets; ``prow`` the parameter row
+    (differs from bi in the fused 3-plane kernel)."""
+    if prow is None:
+        prow = bi
     bw = BLOCK >> sub_x
     bh = BLOCK >> sub_y
     ov_c = 2 >> sub_x
     ov_r = 2 >> sub_y
-    overlap = params_ref[bi, P_OVERLAP]
-    gmin = params_ref[bi, P_GMIN]
-    gmax = params_ref[bi, P_GMAX]
+    overlap = params_ref[prow, P_OVERLAP]
+    gmin = params_ref[prow, P_GMIN]
+    gmax = params_ref[prow, P_GMAX]
     s_top = jnp.maximum(s - 1, 0)
     blk_l = jnp.maximum(blk - 1, 0)
 
@@ -241,20 +247,23 @@ def _apply_groups(
     nb: int,
     sub_x: int,
     sub_y: int,
+    prow=None,
 ):
     """Shared kernel body: per 128-lane block group, assemble noise for
     the member blocks, evaluate scaling, blend and store — the frame is
     read and written exactly once, with no stripe-wide scratch."""
     bi = pl.program_id(0)
     s = pl.program_id(1)
+    if prow is None:
+        prow = bi
     bw = BLOCK >> sub_x
     bh = BLOCK >> sub_y
     k = 128 // bw  # blocks per lane group
     n_groups = pl.cdiv(nb * bw, 128)
-    ss = params_ref[bi, P_SCALING_SHIFT]
-    lo = params_ref[bi, P_CLIP_LO]
-    hi = params_ref[bi, P_CLIP_HI]
-    active = params_ref[bi, P_ACTIVE]
+    ss = params_ref[prow, P_SCALING_SHIFT]
+    lo = params_ref[prow, P_CLIP_LO]
+    hi = params_ref[prow, P_CLIP_HI]
+    active = params_ref[prow, P_ACTIVE]
     maxval = (1 << bit_depth) - 1
 
     def group(g, _):
@@ -270,6 +279,7 @@ def _apply_groups(
                     jnp.minimum(g * k + j, nb - 1),
                     sub_x,
                     sub_y,
+                    prow=prow,
                 )
                 for j in range(k)
             ],
@@ -280,15 +290,15 @@ def _apply_groups(
             val = src
         else:
             avg = avg_ref[0, :, pl.ds(base, 128)]
-            mult = params_ref[bi, P_MULT]
-            luma_mult = params_ref[bi, P_LUMA_MULT]
-            offset = params_ref[bi, P_OFFSET]
+            mult = params_ref[prow, P_MULT]
+            luma_mult = params_ref[prow, P_LUMA_MULT]
+            offset = params_ref[prow, P_OFFSET]
             combined = avg * (luma_mult - 128) + src * (mult - 128)
             val_mult = jnp.clip(
                 (combined >> 6) + ((offset - 256) << (bit_depth - 8)), 0, maxval
             )
-            val = jnp.where(params_ref[bi, P_USE_MULT] > 0, val_mult, avg)
-        scale = _scaling(val, params_ref, bi, bit_depth)
+            val = jnp.where(params_ref[prow, P_USE_MULT] > 0, val_mult, avg)
+        scale = _scaling(val, params_ref, prow, bit_depth)
         grained = jnp.clip(src + ((scale * noise + (1 << (ss - 1))) >> ss), lo, hi)
         out_ref[0, :, pl.ds(base, 128)] = jnp.where(active > 0, grained, src)
         return _
@@ -384,3 +394,104 @@ def apply_plane_chroma(
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(offsets, params, src, avg_luma, pattern_padded)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused 3-plane kernel: one launch applies grain to Y, Cb and Cr.
+# The per-plane parameter rows are stacked as (3B, P_LEN); plane p of
+# frame b reads row p*B + b.
+
+
+def _fused_kernel(
+    offs_ref,
+    params3_ref,  # (3B, P_LEN)
+    y_ref,
+    cb_ref,
+    cr_ref,
+    avg_ref,
+    lpat_ref,
+    cbpat_ref,
+    crpat_ref,
+    outy_ref,
+    outcb_ref,
+    outcr_ref,
+    *,
+    batch: int,
+    bit_depth: int,
+    nb: int,
+    sub_x: int,
+    sub_y: int,
+):
+    bi = pl.program_id(0)
+    _apply_groups(
+        offs_ref, params3_ref, y_ref, lpat_ref, outy_ref, None,
+        bit_depth, nb, 0, 0, prow=bi,
+    )
+    _apply_groups(
+        offs_ref, params3_ref, cb_ref, cbpat_ref, outcb_ref, avg_ref,
+        bit_depth, nb, sub_x, sub_y, prow=batch + bi,
+    )
+    _apply_groups(
+        offs_ref, params3_ref, cr_ref, crpat_ref, outcr_ref, avg_ref,
+        bit_depth, nb, sub_x, sub_y, prow=2 * batch + bi,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y"))
+def apply_planes_fused(
+    y: jnp.ndarray,  # (B, H, W) int32
+    cb: jnp.ndarray,
+    cr: jnp.ndarray,
+    avg_luma: jnp.ndarray,  # (B, Hc, Wc)
+    luma_pat: jnp.ndarray,  # (B, 73, 82)
+    cb_pat: jnp.ndarray,
+    cr_pat: jnp.ndarray,
+    offsets: jnp.ndarray,  # (B, S, NB)
+    params3: jnp.ndarray,  # (3B, P_LEN): y rows, then cb rows, then cr
+    bit_depth: int,
+    sub_x: int,
+    sub_y: int,
+):
+    b, h, w = y.shape
+    hc, wc = cb.shape[1], cb.shape[2]
+    s_count = (h + BLOCK - 1) // BLOCK
+    nb = (w + BLOCK - 1) // BLOCK
+    bh_c = BLOCK >> sub_y
+    wpad = ((w + 127) // 128) * 128
+    wcpad = ((wc + 127) // 128) * 128
+    gh_c = cb_pat.shape[1]
+    lpat_p = jnp.pad(luma_pat, ((0, 0), (0, 8), (0, 128 - 82)))
+    cbpat_p = jnp.pad(cb_pat, ((0, 0), (0, 8), (0, 128 - cb_pat.shape[2])))
+    crpat_p = jnp.pad(cr_pat, ((0, 0), (0, 8), (0, 128 - cr_pat.shape[2])))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, s_count),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, 73 + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, gh_c + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, gh_c + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+        ),
+    )
+    kernel = functools.partial(
+        _fused_kernel, batch=b, bit_depth=bit_depth, nb=nb,
+        sub_x=sub_x, sub_y=sub_y,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(y.shape, jnp.int32),
+            jax.ShapeDtypeStruct(cb.shape, jnp.int32),
+            jax.ShapeDtypeStruct(cr.shape, jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(offsets, params3, y, cb, cr, avg_luma, lpat_p, cbpat_p, crpat_p)
