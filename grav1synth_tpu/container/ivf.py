@@ -135,3 +135,48 @@ def write_ivf(path: str, header: IvfHeader, packets: List[IvfPacket]) -> None:
         for p in packets:
             w.write_packet(p)
         w.finalize()
+
+
+def scan_complete_packets(path: str) -> Tuple[IvfHeader, int, int]:
+    """Count whole packets in a (possibly truncated) IVF file.
+
+    Returns (header, n_complete, byte_offset_after_last_complete) —
+    the restart point for resumable writers."""
+    with open(path, "rb") as fh:
+        r = IvfReader(fh)
+        count = 0
+        offset = fh.tell()
+        while True:
+            hdr = fh.read(12)
+            if len(hdr) < 12:
+                break
+            size, _ = struct.unpack("<Iq", hdr)
+            data = fh.read(size)
+            if len(data) < size:
+                break
+            count += 1
+            offset = fh.tell()
+        return r.header, count, offset
+
+
+class IvfAppender:
+    """Append packets to an existing IVF after a clean restart point."""
+
+    def __init__(self, path: str, offset: int, existing: int):
+        self._fh = open(path, "r+b")
+        self._fh.seek(offset)
+        self._fh.truncate()
+        self._count = existing
+
+    def write_packet(self, packet: IvfPacket) -> None:
+        self._fh.write(struct.pack("<Iq", len(packet.data), packet.pts))
+        self._fh.write(packet.data)
+        self._count += 1
+
+    def finalize(self) -> None:
+        pos = self._fh.tell()
+        self._fh.seek(24)
+        self._fh.write(struct.pack("<I", self._count))
+        self._fh.seek(pos)
+        self._fh.flush()
+        self._fh.close()

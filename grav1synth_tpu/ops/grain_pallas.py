@@ -145,7 +145,8 @@ def _off_xy(rand, sub_x: int, sub_y: int):
 
 def _block_noise(
     offs_ref,
-    pattern_ref,
+    rolled_ref,  # VMEM scratch: 16 pre-rolled pattern copies, stacked
+    rolled_gh,  # rows per copy (pattern rows + 8 pad)
     params_ref,
     bi,
     s,
@@ -186,26 +187,24 @@ def _block_noise(
         wy_old = jnp.where(row2 == 0, 27, 17)
         wy_new = jnp.where(row2 == 0, 17, 27)
 
-    def window(oy, ox, rows, col0, cols):
-        """pattern[oy : oy+rows, ox+col0 :][:cols] — dynamic row slice
-        (sublane) + dynamic lane rotate (Mosaic forbids dynamic lane
-        slicing) + static prefix. The pattern ref is padded to 128 lanes
-        and 8 extra rows so the rotate operand stays tile-aligned; the
-        rotate never wraps valid data in (ox+col0+cols is within the
-        true pattern width)."""
+    gh_pad = rolled_gh
+    def window(oy, ox_idx, rows, col0, cols):
+        """pattern[oy : oy+rows, offx(ox_idx)+col0 :][:cols] from the
+        pre-rolled scratch: copy ox_idx holds the pattern rotated so
+        its offx column sits at lane 0, making every block window one
+        dynamic-sublane slice + static lane slice."""
         rows_load = max(rows, 8)
-        r = pattern_ref[0, pl.ds(oy, rows_load), :]
-        rolled = pltpu.roll(r, -(ox + col0), axis=1)
-        return rolled[:rows, :cols]
+        r = rolled_ref[pl.ds(ox_idx * gh_pad + oy, rows_load), col0 : col0 + cols]
+        return r[:rows]
 
     rand = offs_ref[bi, s, blk]
     rand_l = offs_ref[bi, s, blk_l]
     rand_t = offs_ref[bi, s_top, blk]
     rand_tl = offs_ref[bi, s_top, blk_l]
-    ox, oy = _off_xy(rand, sub_x, sub_y)
-    ox_l, oy_l = _off_xy(rand_l, sub_x, sub_y)
-    ox_t, oy_t = _off_xy(rand_t, sub_x, sub_y)
-    ox_tl, oy_tl = _off_xy(rand_tl, sub_x, sub_y)
+    ox, oy = rand >> 4, _off_xy(rand, sub_x, sub_y)[1]
+    ox_l, oy_l = rand_l >> 4, _off_xy(rand_l, sub_x, sub_y)[1]
+    ox_t, oy_t = rand_t >> 4, _off_xy(rand_t, sub_x, sub_y)[1]
+    ox_tl, oy_tl = rand_tl >> 4, _off_xy(rand_tl, sub_x, sub_y)[1]
 
     cur = window(oy, ox, bh, 0, bw)
     # left neighbor's continuation columns, padded to block width
@@ -243,6 +242,7 @@ def _apply_groups(
     pattern_ref,
     out_ref,
     avg_ref,  # None (luma) or (1, bh, Wpad) averaged luma
+    rolled_ref,  # VMEM scratch (16 * (gh + 8), 128)
     bit_depth: int,
     nb: int,
     sub_x: int,
@@ -265,6 +265,16 @@ def _apply_groups(
     hi = params_ref[prow, P_CLIP_HI]
     active = params_ref[prow, P_ACTIVE]
     maxval = (1 << bit_depth) - 1
+    gh_pad = rolled_ref.shape[0] // 16
+
+    # pre-roll the pattern for all 16 possible column offsets (static
+    # rotate amounts); block windows then need no dynamic lane ops
+    for r in range(16):
+        amount = 3 + (2 >> sub_x) * (3 + r)
+        # left-rotate by `amount` == right-rotate by 128 - amount
+        rolled_ref[r * gh_pad : (r + 1) * gh_pad, :] = pltpu.roll(
+            pattern_ref[0], 128 - amount, axis=1
+        )
 
     def group(g, _):
         base = pl.multiple_of(g * 128, 128)
@@ -272,7 +282,8 @@ def _apply_groups(
             [
                 _block_noise(
                     offs_ref,
-                    pattern_ref,
+                    rolled_ref,
+                    gh_pad,
                     params_ref,
                     bi,
                     s,
@@ -306,18 +317,21 @@ def _apply_groups(
     jax.lax.fori_loop(0, n_groups, group, None)
 
 
-def _luma_kernel(offs_ref, params_ref, src_ref, pattern_ref, out_ref, *, bit_depth, nb):
+def _luma_kernel(
+    offs_ref, params_ref, src_ref, pattern_ref, out_ref, rolled, *, bit_depth, nb
+):
     _apply_groups(
-        offs_ref, params_ref, src_ref, pattern_ref, out_ref, None, bit_depth, nb, 0, 0
+        offs_ref, params_ref, src_ref, pattern_ref, out_ref, None, rolled,
+        bit_depth, nb, 0, 0,
     )
 
 
 def _chroma_kernel(
-    offs_ref, params_ref, src_ref, avg_ref, pattern_ref, out_ref, *,
+    offs_ref, params_ref, src_ref, avg_ref, pattern_ref, out_ref, rolled, *,
     bit_depth, nb, sub_x, sub_y,
 ):
     _apply_groups(
-        offs_ref, params_ref, src_ref, pattern_ref, out_ref, avg_ref,
+        offs_ref, params_ref, src_ref, pattern_ref, out_ref, avg_ref, rolled,
         bit_depth, nb, sub_x, sub_y,
     )
 
@@ -345,6 +359,7 @@ def apply_plane_luma(
             pl.BlockSpec((1, 73 + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
+        scratch_shapes=[pltpu.VMEM((16 * (73 + 8), 128), jnp.int32)],
     )
     kernel = functools.partial(_luma_kernel, bit_depth=bit_depth, nb=nb)
     return pl.pallas_call(
@@ -384,6 +399,7 @@ def apply_plane_chroma(
             pl.BlockSpec((1, gh + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bh, wcpad), lambda bi, s, *_: (bi, s, 0)),
+        scratch_shapes=[pltpu.VMEM((16 * (gh + 8), 128), jnp.int32)],
     )
     kernel = functools.partial(
         _chroma_kernel, bit_depth=bit_depth, nb=nb, sub_x=sub_x, sub_y=sub_y
@@ -415,6 +431,8 @@ def _fused_kernel(
     outy_ref,
     outcb_ref,
     outcr_ref,
+    rolled_y,
+    rolled_c,
     *,
     batch: int,
     bit_depth: int,
@@ -424,15 +442,15 @@ def _fused_kernel(
 ):
     bi = pl.program_id(0)
     _apply_groups(
-        offs_ref, params3_ref, y_ref, lpat_ref, outy_ref, None,
+        offs_ref, params3_ref, y_ref, lpat_ref, outy_ref, None, rolled_y,
         bit_depth, nb, 0, 0, prow=bi,
     )
     _apply_groups(
-        offs_ref, params3_ref, cb_ref, cbpat_ref, outcb_ref, avg_ref,
+        offs_ref, params3_ref, cb_ref, cbpat_ref, outcb_ref, avg_ref, rolled_c,
         bit_depth, nb, sub_x, sub_y, prow=batch + bi,
     )
     _apply_groups(
-        offs_ref, params3_ref, cr_ref, crpat_ref, outcr_ref, avg_ref,
+        offs_ref, params3_ref, cr_ref, crpat_ref, outcr_ref, avg_ref, rolled_c,
         bit_depth, nb, sub_x, sub_y, prow=2 * batch + bi,
     )
 
@@ -480,6 +498,10 @@ def apply_planes_fused(
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((16 * (73 + 8), 128), jnp.int32),
+            pltpu.VMEM((16 * (gh_c + 8), 128), jnp.int32),
+        ],
     )
     kernel = functools.partial(
         _fused_kernel, batch=b, bit_depth=bit_depth, nb=nb,

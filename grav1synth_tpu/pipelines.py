@@ -155,6 +155,7 @@ def _rewrite(
     segments: Optional[List[GrainTableSegment]],
     progress: bool = True,
     verify: Optional[bool] = None,
+    resume: bool = False,
 ) -> int:
     """Shared apply/generate/remove rewrite loop. Returns frame count.
 
@@ -190,12 +191,23 @@ def _rewrite(
         frames = 0
         bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
         if vf.is_ivf:
-            writer = ivf.IvfWriter.create(output_path, vf._header)
-            for pkt in vf.packets():
+            skip = 0
+            if resume and os.path.exists(output_path):
+                # restart after the last complete output packet; replay
+                # the already-done inputs through the parser/rewriter to
+                # rebuild state (seed counters, sequence header, refs)
+                _, skip, offset = ivf.scan_complete_packets(output_path)
+                writer = ivf.IvfAppender(output_path, offset, skip)
+                log.info("resuming after %d completed packets", skip)
+            else:
+                writer = ivf.IvfWriter.create(output_path, vf._header)
+            for i, pkt in enumerate(vf.packets()):
                 parsed = parser.parse_packet(pkt.data, pkt.av1_ts)
                 new_data = rewriter.rewrite_packet(
                     pkt.data, parsed, pkt.av1_ts, parser.sequence_header
                 )
+                if i < skip:
+                    continue
                 _check(new_data, pkt.av1_ts)
                 writer.write_packet(ivf.IvfPacket(pkt.pts, new_data))
                 frames += 1
@@ -227,16 +239,22 @@ def _rewrite(
 
 
 def apply_table(
-    input_path: str, output_path: str, table_path: str, progress: bool = True
+    input_path: str,
+    output_path: str,
+    table_path: str,
+    progress: bool = True,
+    resume: bool = False,
 ) -> int:
     segments = load_table(table_path)
-    n = _rewrite(input_path, output_path, segments, progress)
+    n = _rewrite(input_path, output_path, segments, progress, resume=resume)
     log.info("Done, wrote output file to %s", output_path)
     return n
 
 
-def remove(input_path: str, output_path: str, progress: bool = True) -> int:
-    n = _rewrite(input_path, output_path, None, progress)
+def remove(
+    input_path: str, output_path: str, progress: bool = True, resume: bool = False
+) -> int:
+    n = _rewrite(input_path, output_path, None, progress, resume=resume)
     log.info("Done, wrote output file to %s", output_path)
     return n
 

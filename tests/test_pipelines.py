@@ -248,3 +248,32 @@ class TestMkv:
             )
             dec.close()
         assert len(frames) == 8
+
+
+class TestResume:
+    def test_resume_after_truncation(self, real_ivf, grain_table, tmp_path):
+        """Interrupting an IVF rewrite mid-file and resuming produces a
+        byte-identical output to the uninterrupted run."""
+        full = tmp_path / "full.ivf"
+        pipelines.apply_table(real_ivf, str(full), grain_table, progress=False)
+        # simulate an interrupted run: copy a truncated prefix
+        partial = tmp_path / "partial.ivf"
+        from grav1synth_tpu.container.ivf import scan_complete_packets
+
+        data = open(full, "rb").read()
+        # cut mid-way through the 4th packet (scan gives exact offsets)
+        import io, struct
+
+        fh = io.BytesIO(data)
+        fh.seek(32)
+        for _ in range(3):
+            size, _pts = struct.unpack("<Iq", fh.read(12))
+            fh.seek(size, 1)
+        cut = fh.tell() + 7
+        open(partial, "wb").write(data[:cut])
+        hdr, n_done, off = scan_complete_packets(str(partial))
+        assert n_done == 3
+        pipelines.apply_table(
+            real_ivf, str(partial), grain_table, progress=False, resume=True
+        )
+        assert open(partial, "rb").read() == data
