@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-g", "--grain", required=True, help="grain table file to apply")
     p.add_argument("-y", action="store_true", help="overwrite output without asking")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="continue an interrupted IVF rewrite from its last complete packet",
+    )
 
     p = sub.add_parser("generate", help="add photon-noise grain at a given ISO")
     p.add_argument("input")
@@ -70,6 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-y", action="store_true")
+    p.add_argument("--resume", action="store_true")
 
     p = sub.add_parser(
         "estimate",
@@ -104,16 +110,18 @@ def main(argv=None) -> int:
         else:
             print(f"Done, wrote grain table ({len(segments)} segments)")
     elif args.command == "apply":
-        _check_paths(args.input, args.output, args.y)
-        n = pipelines.apply_table(args.input, args.output, args.grain)
+        _check_paths(args.input, args.output, args.y or args.resume)
+        n = pipelines.apply_table(
+            args.input, args.output, args.grain, resume=args.resume
+        )
         print(f"Done, rewrote {n} video packets")
     elif args.command == "generate":
         _check_paths(args.input, args.output, args.y)
         n = pipelines.generate(args.input, args.output, args.iso, args.chroma)
         print(f"Done, rewrote {n} video packets (ISO {args.iso:g})")
     elif args.command == "remove":
-        _check_paths(args.input, args.output, args.y)
-        n = pipelines.remove(args.input, args.output)
+        _check_paths(args.input, args.output, args.y or args.resume)
+        n = pipelines.remove(args.input, args.output, resume=args.resume)
         print(f"Done, rewrote {n} video packets")
     elif args.command == "estimate":
         segments = pipelines.estimate(args.input, args.output, args.raw)

@@ -44,7 +44,9 @@ P_MULT = 9
 P_LUMA_MULT = 10
 P_OFFSET = 11
 P_PTS = 12  # 14 (x, y) pairs interleaved
-P_LEN = 12 + 28
+P_SEG = 12 + 28  # 13 (delta, bias) pairs: f_j(v) = (v*delta + bias) >> 16
+P_LAST_Y = P_SEG + 26
+P_LEN = P_LAST_Y + 1
 
 
 def _interpret() -> bool:
@@ -98,27 +100,55 @@ def pack_plane_params(
     out = out.at[:, P_LUMA_MULT].set(luma_mult)
     out = out.at[:, P_OFFSET].set(offset)
     out = out.at[:, P_PTS : P_PTS + 28].set(pts.reshape(b, 28))
+    # per-segment affine form of the spec LUT: for v in [x_j, x_{j+1}),
+    # lut8(v) = (v * delta_j + bias_j) >> 16 with
+    # delta_j = dy * ((65536 + dx/2) // dx), bias_j = (y_j << 16) -
+    # x_j * delta_j + 32768
+    x_j = pts[:, :, 0]
+    y_j = pts[:, :, 1]
+    dx = x_j[:, 1:] - x_j[:, :-1]
+    dy = y_j[:, 1:] - y_j[:, :-1]
+    dx_safe = jnp.maximum(dx, 1)
+    delta = dy * ((65536 + (dx_safe >> 1)) // dx_safe)
+    seg_ok = (jnp.arange(13)[None, :] < (num[:, None] - 1)) & (dx > 0)
+    delta = jnp.where(seg_ok, delta, 0)
+    # bias pairs with the (v - x_j) form so products stay within int32
+    # for any representable curve: lut8(v) = ((v-x_j)*delta_j + bias_j)
+    # >> 16 with bias_j = (y_j << 16) + 32768
+    bias = jnp.where(
+        seg_ok,
+        (y_j[:, :-1] << 16) + 32768,
+        -(1 << 30),  # sentinel: never selected (mask below)
+    )
+    seg = jnp.stack([delta, bias], axis=-1).reshape(b, 26)
+    out = out.at[:, P_SEG : P_SEG + 26].set(seg)
+    last_y = jnp.take_along_axis(y_j, jnp.maximum(num - 1, 0)[:, None], axis=1)[:, 0]
+    out = out.at[:, P_LAST_Y].set(last_y)
     return out
 
 
 def _eval_scaling8(v, params_ref, bi):
-    """lut8 value at 8-bit node positions (exact spec integer math),
-    evaluated with scalar thresholds from SMEM over a vector tile."""
+    """lut8 value at 8-bit node positions (exact spec integer math).
+
+    Ascending-overwrite evaluation with precomputed per-segment affine
+    constants (pack_plane_params): val starts at the first point's y,
+    each valid segment overwrites [x_j, inf) with (v*delta_j + bias_j)
+    >> 16, and values past the last point get last_y — 5 vector ops per
+    segment."""
     num = params_ref[bi, P_NUM_PTS]
-    # start from the first point's y (covers v < first x), then each
-    # segment overwrites [x_j, inf) so the last applicable one wins.
     first_y = params_ref[bi, P_PTS + 1]
     val = jnp.full_like(v, first_y)
     for j in range(13):
         x0 = params_ref[bi, P_PTS + 2 * j]
-        y0 = params_ref[bi, P_PTS + 2 * j + 1]
-        x1 = params_ref[bi, P_PTS + 2 * j + 2]
-        y1 = params_ref[bi, P_PTS + 2 * j + 3]
-        seg_ok = (j < num - 1) & (x1 > x0)
-        dx = jnp.maximum(x1 - x0, 1)
-        delta = (y1 - y0) * ((65536 + (dx >> 1)) // dx)
-        seg_val = y0 + (((v - x0) * delta + 32768) >> 16)
-        val = jnp.where(seg_ok & (v >= x0), jnp.where(v < x1, seg_val, y1), val)
+        delta = params_ref[bi, P_SEG + 2 * j]
+        bias = params_ref[bi, P_SEG + 2 * j + 1]
+        seg_val = ((v - x0) * delta + bias) >> 16
+        val = jnp.where((bias != -(1 << 30)) & (v >= x0), seg_val, val)
+    # beyond the last point the curve is flat at last_y
+    idx_last = jnp.maximum(num - 1, 0)
+    last_x = params_ref[bi, P_PTS + 2 * idx_last]
+    last_y = params_ref[bi, P_LAST_Y]
+    val = jnp.where(v >= last_x, last_y, val)
     return jnp.where(num > 0, val, 0)
 
 
@@ -135,6 +165,18 @@ def _scaling(v, params_ref, bi, bit_depth: int):
     b_val = _eval_scaling8(jnp.minimum(idx + 1, 255), params_ref, bi)
     interp = a + (((b_val - a) * rem + (pad >> 1)) >> shift)
     return jnp.where(idx >= 255, a, interp)
+
+
+def _prerolled(pattern: jnp.ndarray, gh_pad: int, sub_x: int) -> jnp.ndarray:
+    """(B, gh, gw) pattern -> (B, 16*gh_pad, 128): for each of the 16
+    possible offx values, the 128-lane-padded pattern rotated left so
+    its offx column sits at lane 0 (computed once per frame in XLA)."""
+    b, gh, gw = pattern.shape
+    padded = jnp.pad(pattern, ((0, 0), (0, gh_pad - gh), (0, 128 - gw)))
+    copies = [
+        jnp.roll(padded, -(3 + (2 >> sub_x) * (3 + r)), axis=2) for r in range(16)
+    ]
+    return jnp.stack(copies, axis=1).reshape(b, 16 * gh_pad, 128)
 
 
 def _off_xy(rand, sub_x: int, sub_y: int):
@@ -190,11 +232,11 @@ def _block_noise(
     gh_pad = rolled_gh
     def window(oy, ox_idx, rows, col0, cols):
         """pattern[oy : oy+rows, offx(ox_idx)+col0 :][:cols] from the
-        pre-rolled scratch: copy ox_idx holds the pattern rotated so
-        its offx column sits at lane 0, making every block window one
-        dynamic-sublane slice + static lane slice."""
+        pre-rolled pattern input: copy ox_idx holds the pattern rotated
+        so its offx column sits at lane 0, making every block window
+        one dynamic-sublane slice + static lane slice."""
         rows_load = max(rows, 8)
-        r = rolled_ref[pl.ds(ox_idx * gh_pad + oy, rows_load), col0 : col0 + cols]
+        r = rolled_ref[0, pl.ds(ox_idx * gh_pad + oy, rows_load), col0 : col0 + cols]
         return r[:rows]
 
     rand = offs_ref[bi, s, blk]
@@ -239,10 +281,10 @@ def _apply_groups(
     offs_ref,
     params_ref,
     src_ref,  # (1, bh, Wpad)
-    pattern_ref,
+    rolled_ref,  # (1, 16 * (gh + 8), 128) pre-rolled pattern copies
     out_ref,
     avg_ref,  # None (luma) or (1, bh, Wpad) averaged luma
-    rolled_ref,  # VMEM scratch (16 * (gh + 8), 128)
+    gh_pad: int,
     bit_depth: int,
     nb: int,
     sub_x: int,
@@ -265,16 +307,6 @@ def _apply_groups(
     hi = params_ref[prow, P_CLIP_HI]
     active = params_ref[prow, P_ACTIVE]
     maxval = (1 << bit_depth) - 1
-    gh_pad = rolled_ref.shape[0] // 16
-
-    # pre-roll the pattern for all 16 possible column offsets (static
-    # rotate amounts); block windows then need no dynamic lane ops
-    for r in range(16):
-        amount = 3 + (2 >> sub_x) * (3 + r)
-        # left-rotate by `amount` == right-rotate by 128 - amount
-        rolled_ref[r * gh_pad : (r + 1) * gh_pad, :] = pltpu.roll(
-            pattern_ref[0], 128 - amount, axis=1
-        )
 
     def group(g, _):
         base = pl.multiple_of(g * 128, 128)
@@ -318,20 +350,20 @@ def _apply_groups(
 
 
 def _luma_kernel(
-    offs_ref, params_ref, src_ref, pattern_ref, out_ref, rolled, *, bit_depth, nb
+    offs_ref, params_ref, src_ref, rolled_ref, out_ref, *, bit_depth, nb
 ):
     _apply_groups(
-        offs_ref, params_ref, src_ref, pattern_ref, out_ref, None, rolled,
+        offs_ref, params_ref, src_ref, rolled_ref, out_ref, None, 73 + 8,
         bit_depth, nb, 0, 0,
     )
 
 
 def _chroma_kernel(
-    offs_ref, params_ref, src_ref, avg_ref, pattern_ref, out_ref, rolled, *,
-    bit_depth, nb, sub_x, sub_y,
+    offs_ref, params_ref, src_ref, avg_ref, rolled_ref, out_ref, *,
+    bit_depth, nb, sub_x, sub_y, gh_pad,
 ):
     _apply_groups(
-        offs_ref, params_ref, src_ref, pattern_ref, out_ref, avg_ref, rolled,
+        offs_ref, params_ref, src_ref, rolled_ref, out_ref, avg_ref, gh_pad,
         bit_depth, nb, sub_x, sub_y,
     )
 
@@ -348,18 +380,15 @@ def apply_plane_luma(
     s_count = (h + BLOCK - 1) // BLOCK
     nb = (w + BLOCK - 1) // BLOCK
     wpad = ((w + 127) // 128) * 128  # lane-aligned block width
-    # pad the pattern to tile-aligned lanes (+8 rows so the overlap
-    # windows can always load 8 sublanes)
-    pattern_padded = jnp.pad(pattern, ((0, 0), (0, 8), (0, 128 - 82)))
+    rolled = _prerolled(pattern, 73 + 8, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, s_count),
         in_specs=[
             pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
-            pl.BlockSpec((1, 73 + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * (73 + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
-        scratch_shapes=[pltpu.VMEM((16 * (73 + 8), 128), jnp.int32)],
     )
     kernel = functools.partial(_luma_kernel, bit_depth=bit_depth, nb=nb)
     return pl.pallas_call(
@@ -367,7 +396,7 @@ def apply_plane_luma(
         out_shape=jax.ShapeDtypeStruct(src.shape, jnp.int32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(offsets, params, src, pattern_padded)
+    )(offsets, params, src, rolled)
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y"))
@@ -387,29 +416,27 @@ def apply_plane_chroma(
     nb = offsets.shape[2]
     gh = pattern.shape[1]
     wcpad = ((wc + 127) // 128) * 128
-    pattern_padded = jnp.pad(
-        pattern, ((0, 0), (0, 8), (0, 128 - pattern.shape[2]))
-    )
+    rolled = _prerolled(pattern, gh + 8, sub_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, s_count),
         in_specs=[
             pl.BlockSpec((1, bh, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh, wcpad), lambda bi, s, *_: (bi, s, 0)),
-            pl.BlockSpec((1, gh + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * (gh + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bh, wcpad), lambda bi, s, *_: (bi, s, 0)),
-        scratch_shapes=[pltpu.VMEM((16 * (gh + 8), 128), jnp.int32)],
     )
     kernel = functools.partial(
-        _chroma_kernel, bit_depth=bit_depth, nb=nb, sub_x=sub_x, sub_y=sub_y
+        _chroma_kernel, bit_depth=bit_depth, nb=nb, sub_x=sub_x, sub_y=sub_y,
+        gh_pad=gh + 8,
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(src.shape, jnp.int32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(offsets, params, src, avg_luma, pattern_padded)
+    )(offsets, params, src, avg_luma, rolled)
 
 
 # ---------------------------------------------------------------------------
@@ -425,32 +452,31 @@ def _fused_kernel(
     cb_ref,
     cr_ref,
     avg_ref,
-    lpat_ref,
-    cbpat_ref,
-    crpat_ref,
+    lrolled_ref,
+    cbrolled_ref,
+    crrolled_ref,
     outy_ref,
     outcb_ref,
     outcr_ref,
-    rolled_y,
-    rolled_c,
     *,
     batch: int,
     bit_depth: int,
     nb: int,
     sub_x: int,
     sub_y: int,
+    gh_pad_c: int,
 ):
     bi = pl.program_id(0)
     _apply_groups(
-        offs_ref, params3_ref, y_ref, lpat_ref, outy_ref, None, rolled_y,
+        offs_ref, params3_ref, y_ref, lrolled_ref, outy_ref, None, 73 + 8,
         bit_depth, nb, 0, 0, prow=bi,
     )
     _apply_groups(
-        offs_ref, params3_ref, cb_ref, cbpat_ref, outcb_ref, avg_ref, rolled_c,
+        offs_ref, params3_ref, cb_ref, cbrolled_ref, outcb_ref, avg_ref, gh_pad_c,
         bit_depth, nb, sub_x, sub_y, prow=batch + bi,
     )
     _apply_groups(
-        offs_ref, params3_ref, cr_ref, crpat_ref, outcr_ref, avg_ref, rolled_c,
+        offs_ref, params3_ref, cr_ref, crrolled_ref, outcr_ref, avg_ref, gh_pad_c,
         bit_depth, nb, sub_x, sub_y, prow=2 * batch + bi,
     )
 
@@ -478,9 +504,9 @@ def apply_planes_fused(
     wpad = ((w + 127) // 128) * 128
     wcpad = ((wc + 127) // 128) * 128
     gh_c = cb_pat.shape[1]
-    lpat_p = jnp.pad(luma_pat, ((0, 0), (0, 8), (0, 128 - 82)))
-    cbpat_p = jnp.pad(cb_pat, ((0, 0), (0, 8), (0, 128 - cb_pat.shape[2])))
-    crpat_p = jnp.pad(cr_pat, ((0, 0), (0, 8), (0, 128 - cr_pat.shape[2])))
+    lrolled = _prerolled(luma_pat, 73 + 8, 0)
+    cbrolled = _prerolled(cb_pat, gh_c + 8, sub_x)
+    crrolled = _prerolled(cr_pat, gh_c + 8, sub_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, s_count),
@@ -489,23 +515,19 @@ def apply_planes_fused(
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
-            pl.BlockSpec((1, 73 + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
-            pl.BlockSpec((1, gh_c + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
-            pl.BlockSpec((1, gh_c + 8, 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * (73 + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((16 * (73 + 8), 128), jnp.int32),
-            pltpu.VMEM((16 * (gh_c + 8), 128), jnp.int32),
-        ],
     )
     kernel = functools.partial(
         _fused_kernel, batch=b, bit_depth=bit_depth, nb=nb,
-        sub_x=sub_x, sub_y=sub_y,
+        sub_x=sub_x, sub_y=sub_y, gh_pad_c=gh_c + 8,
     )
     return pl.pallas_call(
         kernel,
@@ -516,4 +538,4 @@ def apply_planes_fused(
         ),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(offsets, params3, y, cb, cr, avg_luma, lpat_p, cbpat_p, crpat_p)
+    )(offsets, params3, y, cb, cr, avg_luma, lrolled, cbrolled, crrolled)

@@ -23,11 +23,15 @@ TICKS_PER_SECOND = 10_000_000
 
 
 def packet_bounds(index: int, fps_num: int, fps_den: int) -> Tuple[int, int]:
-    """[start, end) ticks of frame ``index`` on the fps grid, matching
-    the reference's float accumulation + ceil exactly."""
-    tpp = fps_den / fps_num * TICKS_PER_SECOND
-    start = 0 if index == 0 else math.ceil(tpp * index)
-    end = math.ceil(tpp * (index + 1))
+    """[start, end) ticks of frame ``index`` on the fps grid.
+
+    Exact integer arithmetic (ceil of the rational product) rather than
+    the reference's accumulated-float ceil (main.rs:726-727): the exact
+    grid is identical except for rare 1-tick float-drift cases, and it
+    makes aggregation a pure function of the absolute frame index — the
+    property multi-shard determinism requires (SURVEY §7 hard part 6)."""
+    start = 0 if index == 0 else -(-fps_den * TICKS_PER_SECOND * index // fps_num)
+    end = -(-fps_den * TICKS_PER_SECOND * (index + 1) // fps_num)
     return start, end
 
 
@@ -42,11 +46,9 @@ def aggregate_grain_headers(
     ``start_index`` offsets the time grid so a shard of frames
     [start_index, start_index + len) aggregates against absolute time.
     """
-    tpp = fps_den / fps_num * TICKS_PER_SECOND
     acc: List[GrainTableSegment] = []
-    cur_start = 0 if start_index == 0 else math.ceil(tpp * start_index)
-    end_f = tpp * (start_index + 1)
-    cur_end = math.ceil(end_f)
+    idx = start_index
+    cur_start, cur_end = packet_bounds(idx, fps_num, fps_den)
     for h in headers:
         prev_has_grain = bool(acc) and acc[-1].end_time == cur_start
         if prev_has_grain:
@@ -63,9 +65,8 @@ def aggregate_grain_headers(
         elif h.action == GrainAction.UPDATE:
             assert h.params is not None
             acc.append(GrainTableSegment(cur_start, cur_end, h.params))
-        cur_start = cur_end
-        end_f += tpp
-        cur_end = math.ceil(end_f)
+        idx += 1
+        cur_start, cur_end = packet_bounds(idx, fps_num, fps_den)
     return acc
 
 

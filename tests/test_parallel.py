@@ -64,3 +64,56 @@ def test_frame_shards():
     assert shards[-1] == (88, 100)
     assert sum(e - s for s, e in shards) == 100
     assert all(e > s for s, e in shards)
+
+
+class TestHostShard:
+    def test_sharded_inspect_matches_single(self, tmp_path):
+        import numpy as np
+
+        from grav1synth_tpu import pipelines
+        from grav1synth_tpu.container.ffshim import Encoder
+        from grav1synth_tpu.container.ivf import IvfHeader, IvfPacket, write_ivf
+        from grav1synth_tpu.obu import Av1Parser, GrainRewriter, GrainTableSegment
+        from grav1synth_tpu.parallel.host_shard import (
+            keyframe_flags,
+            plan_shards,
+            sharded_inspect_ivf,
+        )
+
+        rng = np.random.default_rng(2)
+        frames = []
+        for i in range(24):
+            y = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+            u = np.full((32, 32), 128, np.uint8)
+            frames.append((y, u, u.copy()))
+        # short GOPs -> several keyframes
+        enc = Encoder(64, 64, 8, extra_opts="g=6:keyint_min=6")
+        pkts = enc.encode_frames(frames)
+        enc.close()
+        seg = GrainTableSegment(0, 10**14, sample_grain_params(seed=5))
+        parser = Av1Parser()
+        rw = GrainRewriter([seg])
+        grainy = []
+        for p in pkts:
+            ts = -(-p.pts * 10_000_000 // 24)
+            parsed = parser.parse_packet(p.data, ts)
+            grainy.append(rw.rewrite_packet(p.data, parsed, ts, parser.sequence_header))
+        path = tmp_path / "g.ivf"
+        write_ivf(
+            str(path),
+            IvfHeader(width=64, height=64, timebase_den=24, timebase_num=1),
+            [IvfPacket(i, d) for i, d in enumerate(grainy)],
+        )
+        flags = keyframe_flags(
+            [IvfPacket(i, d) for i, d in enumerate(grainy)]
+        )
+        assert flags[0] and sum(flags) >= 2
+        shards = plan_shards(flags, 4)
+        assert len(shards) >= 2
+
+        single = pipelines.inspect(str(path), str(tmp_path / "s.tbl"), progress=False)
+        sharded = sharded_inspect_ivf(str(path), n_shards=4)
+        assert sharded is not None and single is not None
+        assert [
+            (s.start_time, s.end_time) for s in sharded
+        ] == [(s.start_time, s.end_time) for s in single]
