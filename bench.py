@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 import numpy as np
 
-B = int(os.environ.get("GRAV1_BENCH_BATCH", "8"))
+B = int(os.environ.get("GRAV1_BENCH_BATCH", "16"))
 N_ITERS = int(os.environ.get("GRAV1_BENCH_ITERS", "6"))
 H, W, BIT_DEPTH = 2160, 3840, 10
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
