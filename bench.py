@@ -127,7 +127,7 @@ def measure_dav1d_baseline_fps() -> float:
     # loop the GOP several times so the grain-synthesis delta rises well
     # above decode timing noise (the stream starts at a keyframe, so
     # repetition is decodable)
-    loops = 8
+    loops = 16
     data = [(p.data, i) for i in range(loops) for p in pkts]
 
     def decode_time(apply_grain):
@@ -138,10 +138,11 @@ def measure_dav1d_baseline_fps() -> float:
         dec.close()
         return dt, n
 
-    # warm both paths once, then take best-of-2 per path
+    # warm once, then best-of-3 per path (the grain delta is a few
+    # percent of decode time; min filtering suppresses scheduler noise)
     decode_time(False)
-    t_off = min(decode_time(False)[0], decode_time(False)[0])
-    t_on = min(decode_time(True)[0], decode_time(True)[0])
+    t_off = min(decode_time(False)[0] for _ in range(3))
+    t_on = min(decode_time(True)[0] for _ in range(3))
     n = len(data)
     grain_cost = max((t_on - t_off) / n, 1e-4)
     return 1.0 / grain_cost
