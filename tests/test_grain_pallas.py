@@ -1,0 +1,86 @@
+"""Pallas kernel path vs the dav1d-validated reference (interpret mode
+on the CPU mesh; the same kernels are hardware-verified by the bench
+harness)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from av1_builder import sample_grain_params
+from grav1synth_tpu.ops import grain_jax, grain_ref
+
+
+def _check(params_list, bit_depth=8, h=64, w=64, host_patterns=False):
+    rng = np.random.default_rng(5)
+    maxv = (1 << bit_depth) - 1
+    b = len(params_list)
+    y = rng.integers(0, maxv + 1, (b, h, w)).astype(np.int32)
+    cb = rng.integers(0, maxv + 1, (b, h // 2, w // 2)).astype(np.int32)
+    cr = rng.integers(0, maxv + 1, (b, h // 2, w // 2)).astype(np.int32)
+    out = grain_jax.apply_grain(
+        y, cb, cr, grain_jax.pack_params(params_list), bit_depth,
+        backend="pallas",
+        host_params=params_list if host_patterns else None,
+    )
+    out = [np.asarray(o) for o in out]
+    for i, p in enumerate(params_list):
+        ref = grain_ref.apply_grain_frame([y[i], cb[i], cr[i]], p, bit_depth, 1, 1)
+        for pi in range(3):
+            bad = int((out[pi][i].astype(np.int64) != ref[pi].astype(np.int64)).sum())
+            assert bad == 0, f"frame {i} plane {pi}: {bad} bad"
+
+
+def test_single():
+    _check([sample_grain_params(seed=777)])
+
+
+def test_mixed_batch():
+    p0 = sample_grain_params(seed=777)
+    p1 = copy.deepcopy(p0)
+    p1.overlap_flag = False
+    p2 = copy.deepcopy(p0)
+    p2.chroma_scaling_from_luma = True
+    p2.scaling_points_cb = []
+    p2.scaling_points_cr = []
+    p3 = copy.deepcopy(p0)
+    p3.clip_to_restricted_range = True
+    _check([p0, p1, p2, p3])
+
+
+def test_10bit():
+    _check([sample_grain_params(seed=777)], bit_depth=10)
+
+
+def test_odd_and_multistripe():
+    _check([sample_grain_params(seed=777)], h=70, w=100)
+    _check([sample_grain_params(seed=777)], h=128, w=160)
+
+
+def test_host_patterns_path():
+    _check([sample_grain_params(seed=777)], host_patterns=True)
+
+
+def test_monochrome():
+    p = sample_grain_params(seed=777)
+    p.scaling_points_cb = []
+    p.scaling_points_cr = []
+    p.ar_coeffs_cb = []
+    p.ar_coeffs_cr = []
+    rng = np.random.default_rng(8)
+    y = rng.integers(0, 256, (2, 64, 64)).astype(np.int32)
+    pb = grain_jax.pack_params([p, p])
+    yo, cbo, cro = grain_jax.apply_grain(
+        y, None, None, pb, 8, 1, 1, True, backend="pallas"
+    )
+    assert cbo is None and cro is None
+    for i in range(2):
+        ref = grain_ref.apply_grain_frame([y[i]], p, 8, 1, 1)
+        assert (np.asarray(yo[i]).astype(np.int64) == ref[0].astype(np.int64)).all()
+
+
+def test_extreme_scaling_curve():
+    """Steep dx=1 segments stress the affine-constant overflow path."""
+    p = sample_grain_params(seed=3)
+    p.scaling_points_y = [(0, 0), (1, 255), (2, 0), (128, 200), (255, 10)]
+    _check([p])
