@@ -53,9 +53,11 @@ def measure_tpu_fps() -> float:
     host_params = params if patterns == "host" else None
     rng = np.random.default_rng(0)
     maxv = (1 << BIT_DEPTH) - 1
-    y = jnp.asarray(rng.integers(0, maxv, (B, H, W), dtype=np.int32))
-    cb = jnp.asarray(rng.integers(0, maxv, (B, H // 2, W // 2), dtype=np.int32))
-    cr = jnp.asarray(rng.integers(0, maxv, (B, H // 2, W // 2), dtype=np.int32))
+    # int16 planes: the production wire format (decoder emits 16-bit
+    # samples; every AV1 bit depth fits) — halves HBM traffic vs int32
+    y = jnp.asarray(rng.integers(0, maxv, (B, H, W), dtype=np.int16))
+    cb = jnp.asarray(rng.integers(0, maxv, (B, H // 2, W // 2), dtype=np.int16))
+    cr = jnp.asarray(rng.integers(0, maxv, (B, H // 2, W // 2), dtype=np.int16))
 
     def apply(y_in):
         out = grain_jax.apply_grain(

@@ -705,7 +705,9 @@ def _apply_pallas_with_patterns(
 ):
     from . import grain_pallas as gp
 
-    y = y.astype(jnp.int32)
+    # frames ride HBM as int16 (every AV1 bit depth <= 12 fits): halves
+    # the kernel's memory traffic vs int32; arithmetic widens in VMEM
+    y = y.astype(jnp.int16)
     b, h, w = y.shape
     offs = block_offsets(p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK)
     if monochrome:
@@ -713,8 +715,6 @@ def _apply_pallas_with_patterns(
             y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth), bit_depth
         )
         return y_out, None, None
-    hc, wc = cb.shape[1], cb.shape[2]
-    avg = _avg_luma(y, hc, wc, sub_x, sub_y)
     params3 = jnp.concatenate(
         [
             gp.pack_plane_params(p, "y", bit_depth),
@@ -723,7 +723,7 @@ def _apply_pallas_with_patterns(
         ]
     )
     return gp.apply_planes_fused(
-        y, cb.astype(jnp.int32), cr.astype(jnp.int32), avg,
+        y, cb.astype(jnp.int16), cr.astype(jnp.int16),
         luma_pat, cb_pat, cr_pat, offs, params3, bit_depth, sub_x, sub_y,
     )
 

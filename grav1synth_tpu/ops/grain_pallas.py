@@ -167,16 +167,144 @@ def _scaling(v, params_ref, bi, bit_depth: int):
     return jnp.where(idx >= 255, a, interp)
 
 
+@functools.lru_cache(maxsize=8)
+def _preroll_perm(sub_x: int, k: int) -> np.ndarray:
+    """(16*k, 128, 128) lane-rotation matrices. Copy (ox, j) (flattened
+    as ox*k + j) rotates the pattern so that column offx(ox) lands at
+    lane j*bw — i.e. at block position j of a 128-lane group. A block's
+    window (and its left neighbor's continuation columns, which sit at
+    exactly bw columns past that neighbor's own position, wrapping
+    cyclically for j=0) can then be read as one full-width row slice
+    with no per-block lane shuffling."""
+    bw = BLOCK >> sub_x
+    perm = np.zeros((16 * k, 128, 128), np.float32)
+    for ox in range(16):
+        offx = 3 + (2 >> sub_x) * (3 + ox)
+        for j in range(k):
+            s = (offx - j * bw) % 128
+            for lane in range(128):
+                perm[ox * k + j, (lane + s) % 128, lane] = 1.0
+    return perm
+
+
 def _prerolled(pattern: jnp.ndarray, gh_pad: int, sub_x: int) -> jnp.ndarray:
-    """(B, gh, gw) pattern -> (B, 16*gh_pad, 128): for each of the 16
-    possible offx values, the 128-lane-padded pattern rotated left so
-    its offx column sits at lane 0 (computed once per frame in XLA)."""
+    """(B, gh, gw) pattern -> (B, 16*k*gh_pad, 128) position-specific
+    pre-rolled copies (see _preroll_perm).
+
+    Computed once per frame as a single f32 permutation matmul (MXU,
+    HIGHEST precision so 11-bit grain values stay exact; the default
+    bf16-split passes are not) — XLA lane-rolls cost ~0.35 ms/frame of
+    VPU time, the matmul is negligible."""
     b, gh, gw = pattern.shape
+    k = 128 // (BLOCK >> sub_x)
     padded = jnp.pad(pattern, ((0, 0), (0, gh_pad - gh), (0, 128 - gw)))
-    copies = [
-        jnp.roll(padded, -(3 + (2 >> sub_x) * (3 + r)), axis=2) for r in range(16)
-    ]
-    return jnp.stack(copies, axis=1).reshape(b, 16 * gh_pad, 128)
+    rolled = jnp.einsum(
+        "bik,rkj->brij",
+        padded.astype(jnp.float32),
+        jnp.asarray(_preroll_perm(sub_x, k)),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return rolled.astype(jnp.int32).reshape(b, 16 * k * gh_pad, 128)
+
+
+@functools.lru_cache(maxsize=64)
+def _avg_matrices(
+    sub_y: int, ywin_w: int, wpad: int, wc: int, w: int
+) -> Tuple[Optional[np.ndarray], np.ndarray, Optional[np.ndarray], int]:
+    """Constant matrices for the in-kernel averaged-luma computation
+    (sub_x=1): R (16, 32) extracts even luma rows, P (ywin_w, 128) sums
+    horizontal pairs so that (A @ P + 1) >> 1 is the spec average
+    (grain_ref.py `avg` / reference's seg averaging).
+
+    The last chroma lane group may need a variant P_last: its luma
+    window is clamped to the padded width (shifting the pair mapping by
+    d in {0, 128}), and an odd frame width duplicates the final luma
+    column (patched as a single 2x entry). Returns (R, P, P_last|None,
+    g_last)."""
+    r_mat = None
+    if sub_y:
+        r_mat = np.zeros((16, 32), np.float32)
+        for i in range(16):
+            r_mat[i, 2 * i] = 1.0
+
+    def build(d: int, edge_lane: int) -> np.ndarray:
+        p = np.zeros((ywin_w, 128), np.float32)
+        for c in range(128):
+            k = 2 * c + d
+            if k + 1 < ywin_w:
+                p[k, c] = p[k + 1, c] = 1.0
+        if edge_lane >= 0 and 2 * edge_lane + d + 1 < ywin_w:
+            p[2 * edge_lane + d, edge_lane] = 2.0
+            p[2 * edge_lane + d + 1, edge_lane] = 0.0
+        return p
+
+    g_last = (wc - 1) // 128
+    d_last = max(0, 256 * (g_last + 1) - wpad) if ywin_w == 256 else 0
+    edge = (wc - 1) % 128 if 2 * wc > w else -1
+    p_norm = build(0, -1)
+    p_last = build(d_last, edge) if (d_last or edge >= 0) else None
+    return r_mat, p_norm, p_last, g_last
+
+
+def _avg_mat_arrays(
+    sub_x: int, sub_y: int, wpad: int, wc: int, w: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side companion of _make_inkernel_avg: the (16, 32) row
+    matrix and the (n_p, ywin_w, 128) stacked P matrices to pass as
+    kernel inputs (Pallas kernels cannot capture array constants)."""
+    ywin_w = min(256, wpad) if sub_x else 128
+    r_mat, p_norm, p_last, _ = _avg_matrices(sub_y, ywin_w, wpad, wc, w)
+    if r_mat is None:
+        r_mat = np.zeros((16, 32), np.float32)  # unused placeholder
+    if not sub_x:
+        return r_mat, np.zeros((1, 1, 128), np.float32)
+    ps = [p_norm] if p_last is None else [p_norm, p_last]
+    return r_mat, np.stack(ps)
+
+
+def _make_inkernel_avg(
+    y_ref, r_ref, p_ref, sub_x: int, sub_y: int, wpad: int, wc: int, w: int
+):
+    """avg_fn(g, base) -> (BLOCK>>sub_y, 128) int32 averaged luma for
+    chroma lane group g, computed from the luma stripe already resident
+    in VMEM — two small exact-in-f32 MXU matmuls instead of a separate
+    XLA pass over the frame (which costs ~0.7 ms/frame at 4K)."""
+    ywin_w = min(256, wpad) if sub_x else 128
+    _, _, p_last, g_last = _avg_matrices(sub_y, ywin_w, wpad, wc, w)
+
+    def rows(yw):
+        if not sub_y:
+            return yw
+        return jnp.dot(
+            r_ref[:, :], yw,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    if not sub_x:
+        def avg_fn(g, base):
+            yw = y_ref[0, :, pl.ds(base, 128)].astype(jnp.float32)
+            return rows(yw).astype(jnp.int32)
+
+        return avg_fn
+
+    def avg_fn(g, base):
+        lbase = jnp.minimum(2 * base, wpad - ywin_w)
+        lbase = pl.multiple_of(lbase, 128)
+        yw = y_ref[0, :, pl.ds(lbase, ywin_w)].astype(jnp.float32)
+        a = rows(yw)
+        pm = p_ref[0]
+        if p_last is not None:
+            pm = jnp.where(g == g_last, p_ref[1], pm)
+        s = jnp.dot(
+            a, pm,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        return (s + 1) >> 1
+
+    return avg_fn
 
 
 def _off_xy(rand, sub_x: int, sub_y: int):
@@ -185,89 +313,102 @@ def _off_xy(rand, sub_x: int, sub_y: int):
     return offx, offy
 
 
-def _block_noise(
-    offs_ref,
-    rolled_ref,  # VMEM scratch: 16 pre-rolled pattern copies, stacked
-    rolled_gh,  # rows per copy (pattern rows + 8 pad)
-    params_ref,
-    bi,
-    s,
-    blk,
-    sub_x: int,
-    sub_y: int,
-    prow=None,
-):
-    """One block's (bh, bw) grain with overlap blending applied.
-
-    ``bi`` indexes the per-frame offsets; ``prow`` the parameter row
-    (differs from bi in the fused 3-plane kernel)."""
-    if prow is None:
-        prow = bi
+def _group_weights(sub_x: int, sub_y: int):
+    """Loop-invariant (bh, 128) blend-weight/mask tensors for a whole
+    128-lane block group (periodic per-block patterns, built from iota
+    since Pallas kernels cannot capture array constants)."""
     bw = BLOCK >> sub_x
     bh = BLOCK >> sub_y
     ov_c = 2 >> sub_x
     ov_r = 2 >> sub_y
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh, 128), 1)
+    lanepos = lane % bw
+    if sub_x:
+        wx_old = jnp.where(lanepos == 0, 23, 0)
+        wx_new = jnp.where(lanepos == 0, 22, 32)
+    else:
+        wx_old = jnp.where(lanepos == 0, 27, jnp.where(lanepos == 1, 17, 0))
+        wx_new = jnp.where(lanepos == 0, 17, jnp.where(lanepos == 1, 27, 32))
+    hmask = lanepos < ov_c
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (ov_r, 128), 0)
+    if sub_y:
+        wy_old = jnp.full((ov_r, 128), 23, jnp.int32)
+        wy_new = jnp.full((ov_r, 128), 22, jnp.int32)
+    else:
+        wy_old = jnp.where(row2 == 0, 27, 17)
+        wy_new = jnp.where(row2 == 0, 17, 27)
+    return lane, wx_old, wx_new, hmask, wy_old, wy_new
+
+
+def _group_noise(
+    offs_ref,
+    rolled_ref,  # position-specific pre-rolled copies (_preroll_perm)
+    gh_pad,  # rows per copy (pattern rows + 8 pad)
+    params_ref,
+    weights,  # _group_weights(sub_x, sub_y)
+    bi,
+    s,
+    g,
+    nb: int,
+    sub_x: int,
+    sub_y: int,
+    prow,
+):
+    """One 128-lane group's (bh, 128) grain with overlap blending.
+
+    Every window — each member block's own grain, its left neighbor's
+    continuation columns, and the top stripe's continuation rows — is a
+    full-width row slice of the position-specific pre-rolled copies, so
+    the merge is k lane-masked selects and ALL blend arithmetic runs
+    once at full vector width (vs per-block (bh, bw) tensors that each
+    occupy whole vregs at 1/k lane utilization)."""
+    bw = BLOCK >> sub_x
+    bh = BLOCK >> sub_y
+    k = 128 // bw
+    ov_r = 2 >> sub_y
+    lane, wx_old, wx_new, hmask, wy_old, wy_new = weights
     overlap = params_ref[prow, P_OVERLAP]
     gmin = params_ref[prow, P_GMIN]
     gmax = params_ref[prow, P_GMAX]
     s_top = jnp.maximum(s - 1, 0)
-    blk_l = jnp.maximum(blk - 1, 0)
 
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
-    if sub_x:
-        wx_old = jnp.where(col2 == 0, 23, 0)
-        wx_new = jnp.where(col2 == 0, 22, 32)
-    else:
-        wx_old = jnp.where(col2 == 0, 27, jnp.where(col2 == 1, 17, 0))
-        wx_new = jnp.where(col2 == 0, 17, jnp.where(col2 == 1, 27, 32))
-    hmask = col2 < ov_c
-    row2 = jax.lax.broadcasted_iota(jnp.int32, (ov_r, bw), 0)
-    if sub_y:
-        wy_old = jnp.full((ov_r, bw), 23, jnp.int32)
-        wy_new = jnp.full((ov_r, bw), 22, jnp.int32)
-    else:
-        wy_old = jnp.where(row2 == 0, 27, 17)
-        wy_new = jnp.where(row2 == 0, 17, 27)
+    def copyrows(ox, pos: int, oy, rows: int):
+        return rolled_ref[0, pl.ds((ox * k + pos) * gh_pad + oy, rows), :]
 
-    gh_pad = rolled_gh
-    def window(oy, ox_idx, rows, col0, cols):
-        """pattern[oy : oy+rows, offx(ox_idx)+col0 :][:cols] from the
-        pre-rolled pattern input: copy ox_idx holds the pattern rotated
-        so its offx column sits at lane 0, making every block window
-        one dynamic-sublane slice + static lane slice."""
-        rows_load = max(rows, 8)
-        r = rolled_ref[0, pl.ds(ox_idx * gh_pad + oy, rows_load), col0 : col0 + cols]
-        return r[:rows]
+    cur = left = top = tl = None
+    for j in range(k):
+        blk = jnp.minimum(g * k + j, nb - 1)
+        blk_l = jnp.maximum(blk - 1, 0)
+        rand = offs_ref[bi, s, blk]
+        rand_l = offs_ref[bi, s, blk_l]
+        rand_t = offs_ref[bi, s_top, blk]
+        rand_tl = offs_ref[bi, s_top, blk_l]
+        oy = _off_xy(rand, sub_x, sub_y)[1]
+        oy_l = _off_xy(rand_l, sub_x, sub_y)[1]
+        oy_t = _off_xy(rand_t, sub_x, sub_y)[1]
+        oy_tl = _off_xy(rand_tl, sub_x, sub_y)[1]
+        cur_j = copyrows(rand >> 4, j, oy, bh)
+        left_j = copyrows(rand_l >> 4, (j - 1) % k, oy_l, bh)
+        top_j = copyrows(rand_t >> 4, j, oy_t + bh, ov_r)
+        tl_j = copyrows(rand_tl >> 4, (j - 1) % k, oy_tl + bh, ov_r)
+        if j == 0:
+            cur, left, top, tl = cur_j, left_j, top_j, tl_j
+        else:
+            m = lane >= j * bw
+            cur = jnp.where(m, cur_j, cur)
+            left = jnp.where(m, left_j, left)
+            m_r = m[:ov_r]
+            top = jnp.where(m_r, top_j, top)
+            tl = jnp.where(m_r, tl_j, tl)
 
-    rand = offs_ref[bi, s, blk]
-    rand_l = offs_ref[bi, s, blk_l]
-    rand_t = offs_ref[bi, s_top, blk]
-    rand_tl = offs_ref[bi, s_top, blk_l]
-    ox, oy = rand >> 4, _off_xy(rand, sub_x, sub_y)[1]
-    ox_l, oy_l = rand_l >> 4, _off_xy(rand_l, sub_x, sub_y)[1]
-    ox_t, oy_t = rand_t >> 4, _off_xy(rand_t, sub_x, sub_y)[1]
-    ox_tl, oy_tl = rand_tl >> 4, _off_xy(rand_tl, sub_x, sub_y)[1]
-
-    cur = window(oy, ox, bh, 0, bw)
-    # left neighbor's continuation columns, padded to block width
-    left2 = window(oy_l, ox_l, bh, bw, ov_c)
-    left = jnp.concatenate(
-        [left2, jnp.zeros((bh, bw - ov_c), jnp.int32)], axis=1
-    )
-    hsel = (overlap > 0) & (blk > 0)
+    # horizontal blend: lanes < ov_c of each block that has a left
+    # neighbor (every block except block 0 of group 0)
+    hsel = (overlap > 0) & ((g * k + lane // bw) > 0) & hmask
     blended = jnp.clip((left * wx_old + cur * wx_new + 16) >> 5, gmin, gmax)
-    cur_h = jnp.where(hsel & hmask, blended, cur)
+    cur_h = jnp.where(hsel, blended, cur)
 
-    # top stripe's continuation rows (with their own horizontal blend)
-    top2 = window(oy_t + bh, ox_t, ov_r, 0, bw)
-    tl2 = window(oy_tl + bh, ox_tl, ov_r, bw, ov_c)
-    tl = jnp.concatenate(
-        [tl2, jnp.zeros((ov_r, bw - ov_c), jnp.int32)], axis=1
-    )
-    tb = jnp.clip(
-        (tl * wx_old[:ov_r] + top2 * wx_new[:ov_r] + 16) >> 5, gmin, gmax
-    )
-    top_h = jnp.where(hsel & hmask[:ov_r], tb, top2)
+    tb = jnp.clip((tl * wx_old[:ov_r] + top * wx_new[:ov_r] + 16) >> 5, gmin, gmax)
+    top_h = jnp.where(hsel[:ov_r], tb, top)
 
     vsel = (overlap > 0) & (s > 0)
     vtop = jnp.clip(
@@ -280,10 +421,10 @@ def _block_noise(
 def _apply_groups(
     offs_ref,
     params_ref,
-    src_ref,  # (1, bh, Wpad)
-    rolled_ref,  # (1, 16 * (gh + 8), 128) pre-rolled pattern copies
+    src_ref,  # (1, bh, Wpad) int16/int32
+    rolled_ref,  # (1, 16 * k * (gh + 8), 128) pre-rolled pattern copies
     out_ref,
-    avg_ref,  # None (luma) or (1, bh, Wpad) averaged luma
+    avg_fn,  # None (luma) or callable(g, base) -> (bh, 128) int32
     gh_pad: int,
     bit_depth: int,
     nb: int,
@@ -307,32 +448,19 @@ def _apply_groups(
     hi = params_ref[prow, P_CLIP_HI]
     active = params_ref[prow, P_ACTIVE]
     maxval = (1 << bit_depth) - 1
+    weights = _group_weights(sub_x, sub_y)
 
     def group(g, _):
         base = pl.multiple_of(g * 128, 128)
-        noise = jnp.concatenate(
-            [
-                _block_noise(
-                    offs_ref,
-                    rolled_ref,
-                    gh_pad,
-                    params_ref,
-                    bi,
-                    s,
-                    jnp.minimum(g * k + j, nb - 1),
-                    sub_x,
-                    sub_y,
-                    prow=prow,
-                )
-                for j in range(k)
-            ],
-            axis=1,
+        noise = _group_noise(
+            offs_ref, rolled_ref, gh_pad, params_ref, weights,
+            bi, s, g, nb, sub_x, sub_y, prow,
         )  # (bh, 128)
-        src = src_ref[0, :, pl.ds(base, 128)]
-        if avg_ref is None:
+        src = src_ref[0, :, pl.ds(base, 128)].astype(jnp.int32)
+        if avg_fn is None:
             val = src
         else:
-            avg = avg_ref[0, :, pl.ds(base, 128)]
+            avg = avg_fn(g, base)
             mult = params_ref[prow, P_MULT]
             luma_mult = params_ref[prow, P_LUMA_MULT]
             offset = params_ref[prow, P_OFFSET]
@@ -343,7 +471,9 @@ def _apply_groups(
             val = jnp.where(params_ref[prow, P_USE_MULT] > 0, val_mult, avg)
         scale = _scaling(val, params_ref, prow, bit_depth)
         grained = jnp.clip(src + ((scale * noise + (1 << (ss - 1))) >> ss), lo, hi)
-        out_ref[0, :, pl.ds(base, 128)] = jnp.where(active > 0, grained, src)
+        out_ref[0, :, pl.ds(base, 128)] = jnp.where(active > 0, grained, src).astype(
+            out_ref.dtype
+        )
         return _
 
     jax.lax.fori_loop(0, n_groups, group, None)
@@ -362,8 +492,11 @@ def _chroma_kernel(
     offs_ref, params_ref, src_ref, avg_ref, rolled_ref, out_ref, *,
     bit_depth, nb, sub_x, sub_y, gh_pad,
 ):
+    def avg_fn(g, base):
+        return avg_ref[0, :, pl.ds(base, 128)].astype(jnp.int32)
+
     _apply_groups(
-        offs_ref, params_ref, src_ref, rolled_ref, out_ref, avg_ref, gh_pad,
+        offs_ref, params_ref, src_ref, rolled_ref, out_ref, avg_fn, gh_pad,
         bit_depth, nb, sub_x, sub_y,
     )
 
@@ -386,14 +519,14 @@ def apply_plane_luma(
         grid=(b, s_count),
         in_specs=[
             pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
-            pl.BlockSpec((1, 16 * (73 + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 64 * (73 + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
     )
     kernel = functools.partial(_luma_kernel, bit_depth=bit_depth, nb=nb)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(src.shape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(src.shape, src.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(offsets, params, src, rolled)
@@ -423,7 +556,7 @@ def apply_plane_chroma(
         in_specs=[
             pl.BlockSpec((1, bh, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh, wcpad), lambda bi, s, *_: (bi, s, 0)),
-            pl.BlockSpec((1, 16 * (gh + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * (128 // (BLOCK >> sub_x)) * (gh + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bh, wcpad), lambda bi, s, *_: (bi, s, 0)),
     )
@@ -433,7 +566,7 @@ def apply_plane_chroma(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(src.shape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(src.shape, src.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(offsets, params, src, avg_luma, rolled)
@@ -451,10 +584,11 @@ def _fused_kernel(
     y_ref,
     cb_ref,
     cr_ref,
-    avg_ref,
     lrolled_ref,
     cbrolled_ref,
     crrolled_ref,
+    avg_r_ref,  # (16, 32) f32 even-row extractor
+    avg_p_ref,  # (n_p, ywin_w, 128) f32 pair-sum matrices
     outy_ref,
     outcb_ref,
     outcr_ref,
@@ -465,28 +599,35 @@ def _fused_kernel(
     sub_x: int,
     sub_y: int,
     gh_pad_c: int,
+    wpad: int,
+    wc: int,
+    w: int,
 ):
     bi = pl.program_id(0)
     _apply_groups(
         offs_ref, params3_ref, y_ref, lrolled_ref, outy_ref, None, 73 + 8,
         bit_depth, nb, 0, 0, prow=bi,
     )
+    # chroma scaling input: averaged luma computed in-kernel from the
+    # luma stripe of this same grid step (already VMEM-resident)
+    avg_fn = _make_inkernel_avg(
+        y_ref, avg_r_ref, avg_p_ref, sub_x, sub_y, wpad, wc, w
+    )
     _apply_groups(
-        offs_ref, params3_ref, cb_ref, cbrolled_ref, outcb_ref, avg_ref, gh_pad_c,
+        offs_ref, params3_ref, cb_ref, cbrolled_ref, outcb_ref, avg_fn, gh_pad_c,
         bit_depth, nb, sub_x, sub_y, prow=batch + bi,
     )
     _apply_groups(
-        offs_ref, params3_ref, cr_ref, crrolled_ref, outcr_ref, avg_ref, gh_pad_c,
+        offs_ref, params3_ref, cr_ref, crrolled_ref, outcr_ref, avg_fn, gh_pad_c,
         bit_depth, nb, sub_x, sub_y, prow=2 * batch + bi,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y"))
 def apply_planes_fused(
-    y: jnp.ndarray,  # (B, H, W) int32
+    y: jnp.ndarray,  # (B, H, W) int16 (or int32; dtype preserved)
     cb: jnp.ndarray,
     cr: jnp.ndarray,
-    avg_luma: jnp.ndarray,  # (B, Hc, Wc)
     luma_pat: jnp.ndarray,  # (B, 73, 82)
     cb_pat: jnp.ndarray,
     cr_pat: jnp.ndarray,
@@ -507,6 +648,7 @@ def apply_planes_fused(
     lrolled = _prerolled(luma_pat, 73 + 8, 0)
     cbrolled = _prerolled(cb_pat, gh_c + 8, sub_x)
     crrolled = _prerolled(cr_pat, gh_c + 8, sub_x)
+    avg_r, avg_p = _avg_mat_arrays(sub_x, sub_y, wpad, wc, w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, s_count),
@@ -514,10 +656,11 @@ def apply_planes_fused(
             pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
-            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
-            pl.BlockSpec((1, 16 * (73 + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
-            pl.BlockSpec((1, 16 * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
-            pl.BlockSpec((1, 16 * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 64 * (73 + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * (128 // (BLOCK >> sub_x)) * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * (128 // (BLOCK >> sub_x)) * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec(avg_r.shape, lambda bi, s, *_: (0, 0)),
+            pl.BlockSpec(avg_p.shape, lambda bi, s, *_: (0, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
@@ -528,14 +671,18 @@ def apply_planes_fused(
     kernel = functools.partial(
         _fused_kernel, batch=b, bit_depth=bit_depth, nb=nb,
         sub_x=sub_x, sub_y=sub_y, gh_pad_c=gh_c + 8,
+        wpad=wpad, wc=wc, w=w,
     )
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct(y.shape, jnp.int32),
-            jax.ShapeDtypeStruct(cb.shape, jnp.int32),
-            jax.ShapeDtypeStruct(cr.shape, jnp.int32),
+            jax.ShapeDtypeStruct(y.shape, y.dtype),
+            jax.ShapeDtypeStruct(cb.shape, cb.dtype),
+            jax.ShapeDtypeStruct(cr.shape, cr.dtype),
         ),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(offsets, params3, y, cb, cr, avg_luma, lrolled, cbrolled, crrolled)
+    )(
+        offsets, params3, y, cb, cr, lrolled, cbrolled, crrolled,
+        jnp.asarray(avg_r), jnp.asarray(avg_p),
+    )

@@ -383,14 +383,18 @@ def apply_grain_plane_chroma(
     else:
         lo, hi = 0, maxval
 
-    # average luma (horizontal only, even rows when vertically subsampled)
+    # average luma (horizontal only, even rows when vertically
+    # subsampled). The spec clamps lumaX+1 to the actual luma width
+    # (LumaSample coordinate clamp, 7.18.3.5), so for an odd-width luma
+    # plane the final sample pairs with itself.
+    real_luma_w = luma.shape[1]
     ly = luma[:: (1 << sub_y), :][:h].astype(np.int32)
     if sub_x:
         a = ly[:, 0 : 2 * w : 2]
-        if luma_w >= 2 * w:
+        if 2 * w <= real_luma_w:
             b = ly[:, 1 : 2 * w : 2]
         else:  # odd luma width: last sample pairs with itself
-            b = np.concatenate([ly[:, 1:luma_w:2], a[:, -1:]], axis=1)
+            b = np.concatenate([ly[:, 1::2], a[:, -1:]], axis=1)
         avg = (a + b + 1) >> 1
     else:
         avg = ly[:, :w]

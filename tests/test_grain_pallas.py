@@ -15,9 +15,10 @@ def _check(params_list, bit_depth=8, h=64, w=64, host_patterns=False):
     rng = np.random.default_rng(5)
     maxv = (1 << bit_depth) - 1
     b = len(params_list)
+    # real AV1 4:2:0 chroma geometry: ceil halving ((w+1)>>1)
     y = rng.integers(0, maxv + 1, (b, h, w)).astype(np.int32)
-    cb = rng.integers(0, maxv + 1, (b, h // 2, w // 2)).astype(np.int32)
-    cr = rng.integers(0, maxv + 1, (b, h // 2, w // 2)).astype(np.int32)
+    cb = rng.integers(0, maxv + 1, (b, (h + 1) // 2, (w + 1) // 2)).astype(np.int32)
+    cr = rng.integers(0, maxv + 1, (b, (h + 1) // 2, (w + 1) // 2)).astype(np.int32)
     out = grain_jax.apply_grain(
         y, cb, cr, grain_jax.pack_params(params_list), bit_depth,
         backend="pallas",
@@ -59,6 +60,24 @@ def test_odd_and_multistripe():
 
 def test_host_patterns_path():
     _check([sample_grain_params(seed=777)], host_patterns=True)
+
+
+def test_wide_inkernel_avg():
+    """256-lane luma windows feed the in-kernel averaged-luma matmuls."""
+    _check([sample_grain_params(seed=777)], h=64, w=512)
+
+
+def test_shifted_last_group():
+    """Last chroma lane group's luma window clamps to the padded width
+    (the d=128 shifted-P variant)."""
+    _check([sample_grain_params(seed=777)], h=40, w=300)
+
+
+def test_odd_width_edge():
+    """Odd frame width duplicates the final luma column in the average
+    (edge-patched P), in both the 128- and 256-wide window regimes."""
+    _check([sample_grain_params(seed=777)], h=40, w=99)
+    _check([sample_grain_params(seed=777)], h=40, w=301)
 
 
 def test_monochrome():
