@@ -203,7 +203,10 @@ def _prerolled(pattern: jnp.ndarray, gh_pad: int, sub_x: int) -> jnp.ndarray:
         padded.astype(jnp.float32),
         jnp.asarray(_preroll_perm(sub_x, k)),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        # bf16x3 is exact here: the permutation matrix is 0/1
+        # (bf16-exact) and 11-bit grain splits fully into two bf16
+        # terms; single-pass DEFAULT is not exact, HIGHEST wastes 2x
+        precision=jax.lax.Precision.HIGH,
     )
     return rolled.astype(jnp.int32).reshape(b, 16 * k * gh_pad, 128)
 
