@@ -5,7 +5,11 @@ src/main.rs:347-533 diff pipeline): the per-frame noise residual is
 reduced on device to (a) lag-window autocovariance moments for the AR
 coefficient fit and (b) intensity-binned residual second moments for
 the scaling LUT, restricted to flat blocks so denoiser signal leakage
-does not bias the fit. Chunks of frames become grain-table segments;
+does not bias the fit. Chroma planes get the same treatment with one
+extra design column — the collocated subsample-averaged luma residual
+— fitting the spec's cross-plane AR coefficient; their scaling input
+is linearized to plane intensity via (mult, luma_mult, offset) =
+(192, 128, 256). Chunks of frames become grain-table segments;
 adjacent chunks with near-identical models merge.
 
 All per-pixel work is one jitted reduction per frame pair; the tiny
@@ -42,26 +46,10 @@ def _lag_offsets(lag: int) -> List[Tuple[int, int]]:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("lag", "bit_depth"))
-def frame_pair_stats(
-    src: jnp.ndarray,  # (H, W) int32 luma, source (grainy)
-    den: jnp.ndarray,  # (H, W) int32 luma, denoised
-    lag: int,
-    bit_depth: int,
-):
-    """Reduce one frame pair to sufficient statistics.
-
-    Returns dict with:
-      ata (K, K), atb (K,): masked lag-window normal equations
-      n_ar: count of contributing pixels
-      bin_cnt (NUM_BINS,), bin_sum, bin_sumsq: residual moments per
-        denoised-intensity bin (flat blocks only)
-    """
-    h, w = src.shape
-    maxval = (1 << bit_depth) - 1
-    r = (src - den).astype(jnp.float32)
-
-    # flat-block mask from denoised-signal activity
+def _flat_mask(den: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) 0/1 mask of low-activity blocks of the denoised signal
+    (denoiser leakage in textured areas would bias the noise model)."""
+    h, w = den.shape
     gx = jnp.abs(jnp.diff(den.astype(jnp.float32), axis=1))
     gy = jnp.abs(jnp.diff(den.astype(jnp.float32), axis=0))
     act = jnp.zeros((h, w), jnp.float32)
@@ -76,9 +64,49 @@ def frame_pair_stats(
     mask = mask.at[: hb * FLAT_BLOCK, : wb * FLAT_BLOCK].set(
         jnp.repeat(jnp.repeat(flat_b.astype(jnp.float32), FLAT_BLOCK, 0), FLAT_BLOCK, 1)
     )
+    return mask
+
+
+def _masked_normal_eqs(r, interior_mask, cols):
+    """cols: (K, h', w') predictors; returns (ata, atb, n)."""
+    k = cols.shape[0]
+    flat_cols = (cols * interior_mask).reshape(k, -1)
+    ata = flat_cols @ flat_cols.T
+    atb = flat_cols @ (r * interior_mask).reshape(-1)
+    return ata, atb, jnp.sum(interior_mask)
+
+
+def _binned_moments(den, r, mask, bit_depth):
+    maxval = (1 << bit_depth) - 1
+    bins = jnp.clip(den * NUM_BINS // (maxval + 1), 0, NUM_BINS - 1)
+    onehot = (bins[..., None] == jnp.arange(NUM_BINS)).astype(jnp.float32)
+    m = mask[..., None] * onehot
+    bin_cnt = jnp.sum(m, axis=(0, 1))
+    bin_sum = jnp.sum(m * r[..., None], axis=(0, 1))
+    bin_sumsq = jnp.sum(m * (r[..., None] ** 2), axis=(0, 1))
+    return bin_cnt, bin_sum, bin_sumsq
+
+
+@functools.partial(jax.jit, static_argnames=("lag", "bit_depth"))
+def frame_pair_stats(
+    src: jnp.ndarray,  # (H, W) int32 luma, source (grainy)
+    den: jnp.ndarray,  # (H, W) int32 luma, denoised
+    lag: int,
+    bit_depth: int,
+):
+    """Reduce one luma frame pair to sufficient statistics.
+
+    Returns dict with:
+      ata (K, K), atb (K,): masked lag-window normal equations
+      n_ar: count of contributing pixels
+      bin_cnt (NUM_BINS,), bin_sum, bin_sumsq: residual moments per
+        denoised-intensity bin (flat blocks only)
+    """
+    h, w = src.shape
+    r = (src - den).astype(jnp.float32)
+    mask = _flat_mask(den)
 
     offs = _lag_offsets(lag)
-    k = len(offs)
     pad = lag
     interior = mask[pad : h - pad, pad : w - pad]
     r0 = r[pad : h - pad, pad : w - pad]
@@ -86,19 +114,59 @@ def frame_pair_stats(
     def shifted(dr, dc):
         return r[pad + dr : h - pad + dr, pad + dc : w - pad + dc]
 
-    cols = jnp.stack([shifted(dr, dc) * interior for dr, dc in offs])  # (K, h', w')
-    flat_cols = cols.reshape(k, -1)
-    ata = flat_cols @ flat_cols.T
-    atb = flat_cols @ (r0 * interior).reshape(-1)
-    n_ar = jnp.sum(interior)
+    cols = jnp.stack([shifted(dr, dc) for dr, dc in offs])  # (K, h', w')
+    ata, atb, n_ar = _masked_normal_eqs(r0, interior, cols)
+    bin_cnt, bin_sum, bin_sumsq = _binned_moments(den, r, mask, bit_depth)
+    return dict(
+        ata=ata, atb=atb, n_ar=n_ar, bin_cnt=bin_cnt, bin_sum=bin_sum,
+        bin_sumsq=bin_sumsq,
+    )
 
-    # intensity-binned residual moments (flat region)
-    bins = jnp.clip(den * NUM_BINS // (maxval + 1), 0, NUM_BINS - 1)
-    onehot = (bins[..., None] == jnp.arange(NUM_BINS)).astype(jnp.float32)
-    m = mask[..., None] * onehot
-    bin_cnt = jnp.sum(m, axis=(0, 1))
-    bin_sum = jnp.sum(m * r[..., None], axis=(0, 1))
-    bin_sumsq = jnp.sum(m * (r[..., None] ** 2), axis=(0, 1))
+
+@functools.partial(
+    jax.jit, static_argnames=("lag", "bit_depth", "sub_x", "sub_y")
+)
+def frame_pair_stats_chroma(
+    src_c: jnp.ndarray,  # (Hc, Wc) int32 chroma, source
+    den_c: jnp.ndarray,  # (Hc, Wc) int32 chroma, denoised
+    r_luma: jnp.ndarray,  # (H, W) f32 luma residual (src - den)
+    lag: int,
+    bit_depth: int,
+    sub_x: int,
+    sub_y: int,
+):
+    """Chroma-plane statistics: the AR design matrix gains a final
+    column — the collocated (subsample-averaged) luma residual — to fit
+    the spec's cross-plane coefficient (grain_jax._ar_filter_chroma's
+    25th term); scaling moments bin on chroma intensity."""
+    hc, wc = src_c.shape
+    rc = (src_c - den_c).astype(jnp.float32)
+    # collocated luma residual average over the subsampling block
+    need_h, need_w = hc << sub_y, wc << sub_x
+    h, w = r_luma.shape
+    rl = jnp.pad(r_luma, ((0, max(0, need_h - h)), (0, max(0, need_w - w))),
+                 mode="edge")
+    acc = jnp.zeros((hc, wc), jnp.float32)
+    for i in range(sub_y + 1):
+        for j in range(sub_x + 1):
+            acc = acc + rl[i :: 1 << sub_y, j :: 1 << sub_x][:hc, :wc]
+    lavg = acc / ((sub_y + 1) * (sub_x + 1))
+
+    mask = _flat_mask(den_c)
+    offs = _lag_offsets(lag)
+    pad = lag
+    interior = mask[pad : hc - pad, pad : wc - pad]
+    r0 = rc[pad : hc - pad, pad : wc - pad]
+
+    def shifted(dr, dc):
+        return rc[pad + dr : hc - pad + dr, pad + dc : wc - pad + dc]
+
+    cols = jnp.stack(
+        [shifted(dr, dc) for dr, dc in offs]
+        + [lavg[pad : hc - pad, pad : wc - pad]]
+    )  # (K+1, h', w')
+    ata, atb, n_ar = _masked_normal_eqs(r0, interior, cols)
+    bin_cnt, bin_sum, bin_sumsq = _binned_moments(den_c, rc, mask, bit_depth)
     return dict(
         ata=ata, atb=atb, n_ar=n_ar, bin_cnt=bin_cnt, bin_sum=bin_sum,
         bin_sumsq=bin_sumsq,
@@ -106,14 +174,13 @@ def frame_pair_stats(
 
 
 @dataclass
-class _ChunkStats:
+class _PlaneStats:
     ata: np.ndarray
     atb: np.ndarray
     n_ar: float = 0.0
     bin_cnt: np.ndarray = None
     bin_sum: np.ndarray = None
     bin_sumsq: np.ndarray = None
-    frames: int = 0
 
     @classmethod
     def zero(cls, k):
@@ -132,64 +199,52 @@ class _ChunkStats:
         self.bin_cnt += np.asarray(stats["bin_cnt"], np.float64)
         self.bin_sum += np.asarray(stats["bin_sum"], np.float64)
         self.bin_sumsq += np.asarray(stats["bin_sumsq"], np.float64)
-        self.frames += 1
+
+    def sigma_bins(self, scale8: float, min_count: float = 256.0):
+        """Per-bin residual sigma in 8-bit units + validity mask."""
+        valid = self.bin_cnt > min_count
+        mean = np.where(valid, self.bin_sum / np.maximum(self.bin_cnt, 1), 0)
+        var = np.where(
+            valid,
+            self.bin_sumsq / np.maximum(self.bin_cnt, 1) - mean**2,
+            0,
+        )
+        return np.sqrt(np.maximum(var, 0)) / scale8, valid
 
 
-def _fit_params(
-    stats: _ChunkStats, lag: int, bit_depth: int, seed: int
-) -> Optional[FilmGrainParams]:
-    """Solve the chunk's model: AR coefficients + scaling points."""
-    if stats.frames == 0 or stats.n_ar < 1000:
-        return None
-    k = stats.ata.shape[0]
-    ridge = np.eye(k) * (np.trace(stats.ata) / max(k, 1)) * 1e-6
+@dataclass
+class _ChunkStats:
+    y: _PlaneStats
+    cb: _PlaneStats
+    cr: _PlaneStats
+    frames: int = 0
+
+    @classmethod
+    def zero(cls, k):
+        # chroma design gains the collocated-luma column
+        return cls(
+            y=_PlaneStats.zero(k),
+            cb=_PlaneStats.zero(k + 1),
+            cr=_PlaneStats.zero(k + 1),
+        )
+
+
+def _solve_coeffs(ps: _PlaneStats, shift: int) -> Optional[np.ndarray]:
+    k = ps.ata.shape[0]
+    ridge = np.eye(k) * (np.trace(ps.ata) / max(k, 1)) * 1e-6
     try:
-        coeffs = np.linalg.solve(stats.ata + ridge, stats.atb)
+        coeffs = np.linalg.solve(ps.ata + ridge, ps.atb)
     except np.linalg.LinAlgError:
         return None
-    shift = 6  # ar_coeff_shift
-    coded = np.clip(np.round(coeffs * (1 << shift)), -128, 127).astype(int)
+    return np.clip(np.round(coeffs * (1 << shift)), -128, 127).astype(int)
 
-    # residual sigma per intensity bin, in 8-bit units
-    scale8 = 1 << (bit_depth - 8)
-    valid = stats.bin_cnt > 256
-    mean = np.where(valid, stats.bin_sum / np.maximum(stats.bin_cnt, 1), 0)
-    var = np.where(
-        valid,
-        stats.bin_sumsq / np.maximum(stats.bin_cnt, 1) - mean**2,
-        0,
-    )
-    sigma = np.sqrt(np.maximum(var, 0)) / scale8
-    if not valid.any() or sigma[valid].max() < 0.05:
-        return None
 
-    # measure the unit pattern's sigma with the fitted coefficients
-    probe = FilmGrainParams(
-        grain_seed=seed,
-        scaling_points_y=[(0, 1)],
-        ar_coeff_lag=lag,
-        ar_coeffs_y=[int(c) for c in coded],
-        ar_coeff_shift=shift,
-        scaling_shift=8,
-    )
-    pat = grain_ref.generate_grain(probe, 8, True, 1, 1)
-    inner = pat.luma[3:, 3:-3].astype(np.float64)
-    sigma_g = float(inner.std())
-    if sigma_g < 1e-3:
-        return None
-
-    scaling_shift = 8
-    while scaling_shift < 11:
-        vals = sigma * (1 << scaling_shift) / sigma_g
-        if np.nanmax(np.where(valid, vals, 0)) <= 255:
-            break
-        scaling_shift += 1
-    vals = np.clip(sigma * (1 << scaling_shift) / sigma_g, 0, 255)
-
-    # pick up to 14 points across occupied bins
+def _curve_points(
+    vals: np.ndarray, valid: np.ndarray, max_points: int
+) -> List[Tuple[int, int]]:
     occ = np.nonzero(valid)[0]
-    take = occ if len(occ) <= 14 else occ[
-        np.round(np.linspace(0, len(occ) - 1, 14)).astype(int)
+    take = occ if len(occ) <= max_points else occ[
+        np.round(np.linspace(0, len(occ) - 1, max_points)).astype(int)
     ]
     pts = []
     for b in take:
@@ -197,19 +252,126 @@ def _fit_params(
         if pts and x <= pts[-1][0]:
             continue
         pts.append((x, int(round(vals[b]))))
-    if not pts:
+    return pts
+
+
+def _fit_params(
+    stats: _ChunkStats, lag: int, bit_depth: int, seed: int
+) -> Optional[FilmGrainParams]:
+    """Solve the chunk's model: luma + chroma AR coefficients and
+    per-plane scaling curves (joint scaling_shift, as the syntax shares
+    one field across planes)."""
+    if stats.frames == 0 or stats.y.n_ar < 1000:
+        return None
+    shift = 6  # ar_coeff_shift
+    coded_y = _solve_coeffs(stats.y, shift)
+    if coded_y is None:
         return None
 
+    scale8 = 1 << (bit_depth - 8)
+    sigma_y, valid_y = stats.y.sigma_bins(scale8)
+    if not valid_y.any() or sigma_y[valid_y].max() < 0.05:
+        return None
+
+    # chroma fits are optional: enough flat pixels and non-trivial noise
+    def chroma_fit(ps: _PlaneStats):
+        if ps.n_ar < 1000:
+            return None, None, None
+        coded = _solve_coeffs(ps, shift)
+        if coded is None:
+            return None, None, None
+        sigma, valid = ps.sigma_bins(scale8, min_count=64.0)
+        if not valid.any() or sigma[valid].max() < 0.05:
+            return None, None, None
+        return coded, sigma, valid
+
+    coded_cb, sigma_cb, valid_cb = chroma_fit(stats.cb)
+    coded_cr, sigma_cr, valid_cr = chroma_fit(stats.cr)
+
+    # measure each fitted unit pattern's sigma (chroma patterns include
+    # the cross-plane luma term, so generate all planes together)
+    probe = FilmGrainParams(
+        grain_seed=seed,
+        scaling_points_y=[(0, 1)],
+        scaling_points_cb=[(0, 1)] if coded_cb is not None else [],
+        scaling_points_cr=[(0, 1)] if coded_cr is not None else [],
+        ar_coeff_lag=lag,
+        ar_coeffs_y=[int(c) for c in coded_y],
+        ar_coeffs_cb=[int(c) for c in coded_cb] if coded_cb is not None else [],
+        ar_coeffs_cr=[int(c) for c in coded_cr] if coded_cr is not None else [],
+        ar_coeff_shift=shift,
+        scaling_shift=8,
+    )
+    pat = grain_ref.generate_grain(probe, 8, False, 1, 1)
+    sigma_g = float(pat.luma[3:, 3:-3].astype(np.float64).std())
+    if sigma_g < 1e-3:
+        return None
+    sigma_g_cb = (
+        float(pat.cb[3:, 3:-3].astype(np.float64).std())
+        if coded_cb is not None else 0.0
+    )
+    sigma_g_cr = (
+        float(pat.cr[3:, 3:-3].astype(np.float64).std())
+        if coded_cr is not None else 0.0
+    )
+
+    # joint scaling_shift: every plane's curve must fit in 8 bits
+    def plane_vals(sigma, valid, sg, ss):
+        if sigma is None or sg < 1e-3:
+            return None
+        return np.where(valid, sigma * (1 << ss) / sg, 0)
+
+    scaling_shift = 8
+    while scaling_shift < 11:
+        peaks = [np.nanmax(plane_vals(sigma_y, valid_y, sigma_g, scaling_shift))]
+        for sigma, valid, sg in (
+            (sigma_cb, valid_cb, sigma_g_cb),
+            (sigma_cr, valid_cr, sigma_g_cr),
+        ):
+            v = plane_vals(sigma, valid, sg, scaling_shift)
+            if v is not None:
+                peaks.append(np.nanmax(v))
+        if max(peaks) <= 255:
+            break
+        scaling_shift += 1
+
+    pts_y = _curve_points(
+        np.clip(sigma_y * (1 << scaling_shift) / sigma_g, 0, 255), valid_y, 14
+    )
+    if not pts_y:
+        return None
+
+    def chroma_points(sigma, valid, sg):
+        if sigma is None or sg < 1e-3:
+            return []
+        vals = np.clip(sigma * (1 << scaling_shift) / sg, 0, 255)
+        pts = _curve_points(vals, valid, 10)
+        return pts if any(y > 0 for _, y in pts) else []
+
+    pts_cb = chroma_points(sigma_cb, valid_cb, sigma_g_cb)
+    pts_cr = chroma_points(sigma_cr, valid_cr, sigma_g_cr)
+
+    k = coded_y.shape[0]
     return FilmGrainParams(
         grain_seed=seed,
-        scaling_points_y=pts,
+        scaling_points_y=pts_y,
+        scaling_points_cb=pts_cb,
+        scaling_points_cr=pts_cr,
         scaling_shift=scaling_shift,
         ar_coeff_lag=lag,
-        ar_coeffs_y=[int(c) for c in coded],
-        ar_coeffs_cb=[0] * (k + 1),
-        ar_coeffs_cr=[0] * (k + 1),
+        ar_coeffs_y=[int(c) for c in coded_y],
+        ar_coeffs_cb=(
+            [int(c) for c in coded_cb] if pts_cb else [0] * (k + 1)
+        ),
+        ar_coeffs_cr=(
+            [int(c) for c in coded_cr] if pts_cr else [0] * (k + 1)
+        ),
         ar_coeff_shift=shift,
         grain_scale_shift=0,
+        # identity linearization of the chroma scaling input:
+        # (avg_luma*(128-128) + chroma*(192-128)) >> 6 + (256-256) == chroma
+        cb_mult=192, cb_luma_mult=128, cb_offset=256,
+        cr_mult=192, cr_luma_mult=128, cr_offset=256,
         overlap_flag=True,
         clip_to_restricted_range=False,
     )
@@ -248,19 +410,39 @@ class DiffEstimator:
         self._last_sigma: Optional[np.ndarray] = None
 
     def diff_frame(self, src_planes, den_planes) -> None:
-        src = jnp.asarray(src_planes[0], jnp.int32)
-        den = jnp.asarray(den_planes[0], jnp.int32)
-        if self.den_bd != self.src_bd:
+        def norm(plane):
+            p = jnp.asarray(plane, jnp.int32)
             if self.den_bd < self.src_bd:
-                den = den << (self.src_bd - self.den_bd)
-            else:
-                den = den >> (self.den_bd - self.src_bd)
+                return p << (self.src_bd - self.den_bd)
+            if self.den_bd > self.src_bd:
+                return p >> (self.den_bd - self.src_bd)
+            return p
+
+        src = jnp.asarray(src_planes[0], jnp.int32)
+        den = norm(den_planes[0])
         if den.shape != src.shape:
             raise ValueError(
                 f"source/denoised dimensions differ: {src.shape} vs {den.shape}"
             )
         stats = frame_pair_stats(src, den, self.lag, self.src_bd)
-        self._chunk.add(stats)
+        self._chunk.y.add(stats)
+        if len(src_planes) >= 3 and len(den_planes) >= 3:
+            r_luma = (src - den).astype(jnp.float32)
+            h, w = src.shape
+            hc, wc = src_planes[1].shape
+            sub_y = 1 if hc < h else 0
+            sub_x = 1 if wc < w else 0
+            for idx, plane in ((1, self._chunk.cb), (2, self._chunk.cr)):
+                sc = jnp.asarray(src_planes[idx], jnp.int32)
+                dc = norm(den_planes[idx])
+                if dc.shape != sc.shape:
+                    continue
+                plane.add(
+                    frame_pair_stats_chroma(
+                        sc, dc, r_luma, self.lag, self.src_bd, sub_x, sub_y
+                    )
+                )
+        self._chunk.frames += 1
         self._frame_idx += 1
         if self._frame_idx - self._chunk_start >= self.chunk_frames:
             self._flush_chunk()

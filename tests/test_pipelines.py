@@ -167,6 +167,69 @@ class TestDiff:
         assert max(ys) > 0
 
 
+class TestDiffChroma:
+    def test_diff_recovers_chroma_model(self):
+        """Known grain (incl. chroma AR + scaling) injected with the
+        dav1d-validated reference engine must come back from the fit:
+        chroma points present, and re-synthesized chroma noise levels
+        within 30% of the injected ones."""
+        from grav1synth_tpu.ops import grain_ref
+        from grav1synth_tpu.ops.diff_estimate import DiffEstimator
+        from grav1synth_tpu.obu.types import FilmGrainParams
+
+        # moderate, stable AR process (a near-unstable one has huge
+        # seed-to-seed pattern variance no estimator can normalize out)
+        true = FilmGrainParams(
+            grain_seed=901,
+            scaling_points_y=[(0, 40), (128, 60), (255, 80)],
+            scaling_points_cb=[(0, 70), (255, 90)],
+            scaling_points_cr=[(0, 30), (255, 40)],
+            scaling_shift=8,
+            ar_coeff_lag=2,
+            ar_coeffs_y=[4, -2, 8, 2, -2, 12, 2, -1, 8, 3, 2, -4],
+            ar_coeffs_cb=[3, -1, 5, 1, -1, 8, 1, -1, 5, 2, 1, -2, 24],
+            ar_coeffs_cr=[2, -1, 4, 1, -1, 6, 1, 0, 4, 2, 1, -2, 16],
+            ar_coeff_shift=6,
+            cb_mult=192, cb_luma_mult=128, cb_offset=256,
+            cr_mult=192, cr_luma_mult=128, cr_offset=256,
+            overlap_flag=True,
+        )
+        est = DiffEstimator((24, 1), 8, 8, chunk_frames=6)
+        import copy
+
+        def frames():
+            # two intensity levels per plane so the curve has >1 point
+            y = np.full((128, 128), 80, np.int32)
+            y[:, 64:] = 180
+            cb = np.full((64, 64), 90, np.int32)
+            cb[32:, :] = 150
+            cr = np.full((64, 64), 110, np.int32)
+            cr[32:, :] = 170
+            return y, cb, cr
+
+        for i in range(6):
+            y, cb, cr = frames()
+            p_i = copy.deepcopy(true)
+            p_i.grain_seed = (true.grain_seed + i * 10063) & 0xFFFF
+            gy, gcb, gcr = grain_ref.apply_grain_frame([y, cb, cr], p_i, 8, 1, 1)
+            est.diff_frame([gy, gcb, gcr], [y, cb, cr])
+        segs = est.finish()
+        assert len(segs) == 1
+        fit = segs[0].params
+        assert fit.scaling_points_cb and fit.scaling_points_cr
+        assert any(c != 0 for c in fit.ar_coeffs_cb)
+
+        # noise-level round trip: synthesize with the fitted params on
+        # the same frames and compare per-plane noise levels
+        y, cb, cr = frames()
+        ty, tcb, tcr = grain_ref.apply_grain_frame([y, cb, cr], true, 8, 1, 1)
+        fy, fcb, fcr = grain_ref.apply_grain_frame([y, cb, cr], fit, 8, 1, 1)
+        for t, f, base in ((ty, fy, y), (tcb, fcb, cb), (tcr, fcr, cr)):
+            st = (t.astype(float) - base).std()
+            sf = (f.astype(float) - base).std()
+            assert abs(sf - st) / st < 0.30, (st, sf)
+
+
 class TestEstimate:
     def test_estimate_single_input(self, tmp_path):
         rng = np.random.default_rng(7)
