@@ -377,14 +377,30 @@ def _fit_params(
     )
 
 
+def _frame_sigma(stats) -> float:
+    """Whole-frame flat-area residual sigma (8-bit-depth units of the
+    source) from one frame's bin moments — the per-frame noise-strength
+    signal driving scene-adaptive segmentation."""
+    cnt = float(np.sum(np.asarray(stats["bin_cnt"], np.float64)))
+    if cnt < 1:
+        return 0.0
+    s = float(np.sum(np.asarray(stats["bin_sum"], np.float64)))
+    ss = float(np.sum(np.asarray(stats["bin_sumsq"], np.float64)))
+    mean = s / cnt
+    return float(np.sqrt(max(ss / cnt - mean * mean, 0.0)))
+
+
 class DiffEstimator:
     """Streaming source/denoised comparator producing a grain table.
 
     Mirrors the reference diff pipeline contract (per-pair feeding,
     finish() -> segments; mixed bit depths normalized to the source's,
-    main.rs:420-427) with a chunked time model: every ``chunk_frames``
-    frames becomes a candidate segment, merged with its predecessor
-    when the models agree closely.
+    main.rs:420-427) with a scene-adaptive time model: a chunk closes
+    when (a) it reaches ``chunk_frames`` pairs, or (b) the per-frame
+    noise strength jumps away from the chunk's running level (a grade
+    or scene change in the grain character). Adjacent chunks whose
+    fitted models agree are merged back, so stationary noise still
+    yields one long segment.
     """
 
     def __init__(
@@ -395,6 +411,8 @@ class DiffEstimator:
         lag: int = 2,
         chunk_frames: int = 60,
         seed: int = 7391,
+        min_chunk_frames: int = 8,
+        sigma_jump: float = 0.35,
     ):
         self.fps = fps
         self.src_bd = source_bit_depth
@@ -402,12 +420,26 @@ class DiffEstimator:
         self.lag = lag
         self.chunk_frames = chunk_frames
         self.seed = seed
+        self.min_chunk_frames = min_chunk_frames
+        self.sigma_jump = sigma_jump
         self._k = len(_lag_offsets(lag))
         self._chunk = _ChunkStats.zero(self._k)
         self._chunk_start = 0
         self._frame_idx = 0
         self._segments: List[GrainTableSegment] = []
-        self._last_sigma: Optional[np.ndarray] = None
+        self._chunk_sigmas: List[float] = []
+
+    def _scene_cut(self, sigma: float) -> bool:
+        """True when this frame's noise level departs from the chunk's
+        running median by more than ``sigma_jump`` (relative) — only
+        once the chunk is long enough to have a trustworthy level."""
+        if len(self._chunk_sigmas) < self.min_chunk_frames:
+            return False
+        level = float(np.median(self._chunk_sigmas))
+        scale8 = 1 << (self.src_bd - 8)
+        return abs(sigma - level) > max(
+            self.sigma_jump * level, 0.15 * scale8
+        )
 
     def diff_frame(self, src_planes, den_planes) -> None:
         def norm(plane):
@@ -425,6 +457,10 @@ class DiffEstimator:
                 f"source/denoised dimensions differ: {src.shape} vs {den.shape}"
             )
         stats = frame_pair_stats(src, den, self.lag, self.src_bd)
+        sigma = _frame_sigma(stats)
+        if self._scene_cut(sigma):
+            self._flush_chunk()
+        self._chunk_sigmas.append(sigma)
         self._chunk.y.add(stats)
         if len(src_planes) >= 3 and len(den_planes) >= 3:
             r_luma = (src - den).astype(jnp.float32)
@@ -463,6 +499,7 @@ class DiffEstimator:
                 self._segments.append(GrainTableSegment(start, end, params))
         self._chunk = _ChunkStats.zero(self._k)
         self._chunk_start = self._frame_idx
+        self._chunk_sigmas = []
 
     def finish(self) -> List[GrainTableSegment]:
         self._flush_chunk()

@@ -230,6 +230,53 @@ class TestDiffChroma:
             assert abs(sf - st) / st < 0.30, (st, sf)
 
 
+class TestDiffSceneCut:
+    def test_scene_adaptive_segmentation(self):
+        """A mid-stream jump in noise strength must split the table into
+        two segments at that frame, without relying on the fixed chunk
+        size (chunk_frames is set far beyond the stream length)."""
+        from grav1synth_tpu.ops.diff_estimate import DiffEstimator
+        from grav1synth_tpu.tables.aggregate import packet_bounds
+
+        rng = np.random.default_rng(11)
+        est = DiffEstimator(
+            (24, 1), 8, 8, chunk_frames=1000, min_chunk_frames=6
+        )
+        n1 = n2 = 16
+        den_y = np.full((128, 128), 120, np.int32)
+        den_c = np.full((64, 64), 128, np.int32)
+        for i in range(n1 + n2):
+            std = 3.0 if i < n1 else 9.0
+            src_y = np.clip(
+                den_y + np.round(rng.normal(0, std, den_y.shape)), 0, 255
+            ).astype(np.int32)
+            est.diff_frame([src_y, den_c, den_c], [den_y, den_c, den_c])
+        segs = est.finish()
+        assert len(segs) == 2, [(s.start_time, s.end_time) for s in segs]
+        cut, _ = packet_bounds(n1, 24, 1)
+        assert segs[0].end_time == segs[1].start_time == cut
+        y1 = max(y for _, y in segs[0].params.scaling_points_y)
+        y2 = max(y for _, y in segs[1].params.scaling_points_y)
+        assert y2 > y1 * 1.5, (y1, y2)
+
+    def test_stationary_noise_single_segment(self):
+        """Constant-strength noise must NOT be split even across many
+        chunk boundaries (model-equality merge keeps one segment)."""
+        from grav1synth_tpu.ops.diff_estimate import DiffEstimator
+
+        rng = np.random.default_rng(12)
+        est = DiffEstimator((24, 1), 8, 8, chunk_frames=8, min_chunk_frames=4)
+        den_y = np.full((128, 128), 120, np.int32)
+        den_c = np.full((64, 64), 128, np.int32)
+        for _ in range(24):
+            src_y = np.clip(
+                den_y + np.round(rng.normal(0, 5.0, den_y.shape)), 0, 255
+            ).astype(np.int32)
+            est.diff_frame([src_y, den_c, den_c], [den_y, den_c, den_c])
+        segs = est.finish()
+        assert len(segs) == 1, [(s.start_time, s.end_time) for s in segs]
+
+
 class TestEstimate:
     def test_estimate_single_input(self, tmp_path):
         rng = np.random.default_rng(7)
