@@ -618,6 +618,23 @@ def _avg_luma(y: jnp.ndarray, hc: int, wc: int, sub_x: int, sub_y: int) -> jnp.n
     return ly[:, :, :wc]
 
 
+def _max_segments(params_list, monochrome: bool) -> int:
+    """Static bound on scaling-curve segments across a batch of params
+    (the kernels' per-pixel curve evaluation loops exactly this often;
+    compile cache holds one variant per distinct count, <= 13)."""
+    n = 1
+    for p in params_list:
+        counts = [len(p.scaling_points_y)]
+        if not monochrome:
+            if p.chroma_scaling_from_luma:
+                counts.append(len(p.scaling_points_y))
+            else:
+                counts.append(len(p.scaling_points_cb))
+                counts.append(len(p.scaling_points_cr))
+        n = max(n, max(counts) - 1)
+    return max(1, min(n, 13))
+
+
 def apply_grain(
     y,
     cb,
@@ -640,10 +657,15 @@ def apply_grain(
     when given, the tiny grain patterns are generated by the native C++
     recurrence on host (~0.2 ms/frame, ~26 KB/frame upload) instead of
     the on-device scan — the preferred production split: the per-pixel
-    work stays on device, the scalar recurrence runs native."""
+    work stays on device, the scalar recurrence runs native. Knowing
+    the params on host also lets the kernel's scaling-curve segment
+    loop specialize to the batch's actual point counts (most film
+    tables have 2-8 points, far below the syntax maximum of 14)."""
+    n_seg = 13
     if host_params is not None:
         from ..container.ffshim import generate_patterns_native
 
+        n_seg = _max_segments(host_params, monochrome)
         lp, cbp, crp = generate_patterns_native(
             host_params, bit_depth, sub_x, sub_y, monochrome
         )
@@ -659,7 +681,8 @@ def apply_grain(
                 y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
             )
         return _apply_pallas_with_patterns(
-            y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome
+            y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome,
+            n_seg=n_seg,
         )
     if pats is None:
         return apply_grain_batch(y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome)
@@ -688,7 +711,8 @@ def apply_grain_batch_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome")
+    jax.jit,
+    static_argnames=("bit_depth", "sub_x", "sub_y", "monochrome", "n_seg"),
 )
 def _apply_pallas_with_patterns(
     y,
@@ -702,6 +726,7 @@ def _apply_pallas_with_patterns(
     sub_x: int = 1,
     sub_y: int = 1,
     monochrome: bool = False,
+    n_seg: int = 13,
 ):
     from . import grain_pallas as gp
 
@@ -712,7 +737,8 @@ def _apply_pallas_with_patterns(
     offs = block_offsets(p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK)
     if monochrome:
         y_out = gp.apply_plane_luma(
-            y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth), bit_depth
+            y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth),
+            bit_depth, n_seg=n_seg,
         )
         return y_out, None, None
     params3 = jnp.concatenate(
@@ -725,6 +751,7 @@ def _apply_pallas_with_patterns(
     return gp.apply_planes_fused(
         y, cb.astype(jnp.int16), cr.astype(jnp.int16),
         luma_pat, cb_pat, cr_pat, offs, params3, bit_depth, sub_x, sub_y,
+        n_seg=n_seg,
     )
 
 

@@ -127,42 +127,54 @@ def pack_plane_params(
     return out
 
 
-def _eval_scaling8(v, params_ref, bi):
+def _eval_scaling8(v, params_ref, bi, n_seg: int, pair: bool = False):
     """lut8 value at 8-bit node positions (exact spec integer math).
 
     Ascending-overwrite evaluation with precomputed per-segment affine
     constants (pack_plane_params): val starts at the first point's y,
     each valid segment overwrites [x_j, inf) with (v*delta_j + bias_j)
-    >> 16, and values past the last point get last_y — 5 vector ops per
-    segment."""
+    >> 16, and values past the last point get last_y — ~5 vector ops
+    per segment. ``n_seg`` statically bounds the segment loop: the
+    caller knows the actual point counts at trace time (splice time in
+    production), so curves with few points cost few ops. ``pair``
+    additionally returns the value at v+1 (the high-bit-depth
+    interpolation neighbor), sharing the per-segment product."""
     num = params_ref[bi, P_NUM_PTS]
     first_y = params_ref[bi, P_PTS + 1]
     val = jnp.full_like(v, first_y)
-    for j in range(13):
+    val2 = val
+    for j in range(n_seg):
         x0 = params_ref[bi, P_PTS + 2 * j]
         delta = params_ref[bi, P_SEG + 2 * j]
         bias = params_ref[bi, P_SEG + 2 * j + 1]
-        seg_val = ((v - x0) * delta + bias) >> 16
-        val = jnp.where((bias != -(1 << 30)) & (v >= x0), seg_val, val)
+        ok = bias != -(1 << 30)
+        t = (v - x0) * delta + bias
+        val = jnp.where(ok & (v >= x0), t >> 16, val)
+        if pair:
+            val2 = jnp.where(ok & (v >= x0 - 1), (t + delta) >> 16, val2)
     # beyond the last point the curve is flat at last_y
     idx_last = jnp.maximum(num - 1, 0)
     last_x = params_ref[bi, P_PTS + 2 * idx_last]
     last_y = params_ref[bi, P_LAST_Y]
     val = jnp.where(v >= last_x, last_y, val)
-    return jnp.where(num > 0, val, 0)
+    val = jnp.where(num > 0, val, 0)
+    if pair:
+        val2 = jnp.where(v + 1 >= last_x, last_y, val2)
+        val2 = jnp.where(num > 0, val2, 0)
+        return val, val2
+    return val
 
 
-def _scaling(v, params_ref, bi, bit_depth: int):
+def _scaling(v, params_ref, bi, bit_depth: int, n_seg: int):
     maxval = (1 << bit_depth) - 1
     v = jnp.clip(v, 0, maxval)
     if bit_depth == 8:
-        return _eval_scaling8(v, params_ref, bi)
+        return _eval_scaling8(v, params_ref, bi, n_seg)
     shift = bit_depth - 8
     pad = 1 << shift
     idx = v >> shift
     rem = v & (pad - 1)
-    a = _eval_scaling8(idx, params_ref, bi)
-    b_val = _eval_scaling8(jnp.minimum(idx + 1, 255), params_ref, bi)
+    a, b_val = _eval_scaling8(idx, params_ref, bi, n_seg, pair=True)
     interp = a + (((b_val - a) * rem + (pad >> 1)) >> shift)
     return jnp.where(idx >= 255, a, interp)
 
@@ -434,6 +446,7 @@ def _apply_groups(
     sub_x: int,
     sub_y: int,
     prow=None,
+    n_seg: int = 13,
 ):
     """Shared kernel body: per 128-lane block group, assemble noise for
     the member blocks, evaluate scaling, blend and store — the frame is
@@ -472,7 +485,7 @@ def _apply_groups(
                 (combined >> 6) + ((offset - 256) << (bit_depth - 8)), 0, maxval
             )
             val = jnp.where(params_ref[prow, P_USE_MULT] > 0, val_mult, avg)
-        scale = _scaling(val, params_ref, prow, bit_depth)
+        scale = _scaling(val, params_ref, prow, bit_depth, n_seg)
         grained = jnp.clip(src + ((scale * noise + (1 << (ss - 1))) >> ss), lo, hi)
         out_ref[0, :, pl.ds(base, 128)] = jnp.where(active > 0, grained, src).astype(
             out_ref.dtype
@@ -483,34 +496,35 @@ def _apply_groups(
 
 
 def _luma_kernel(
-    offs_ref, params_ref, src_ref, rolled_ref, out_ref, *, bit_depth, nb
+    offs_ref, params_ref, src_ref, rolled_ref, out_ref, *, bit_depth, nb, n_seg
 ):
     _apply_groups(
         offs_ref, params_ref, src_ref, rolled_ref, out_ref, None, 73 + 8,
-        bit_depth, nb, 0, 0,
+        bit_depth, nb, 0, 0, n_seg=n_seg,
     )
 
 
 def _chroma_kernel(
     offs_ref, params_ref, src_ref, avg_ref, rolled_ref, out_ref, *,
-    bit_depth, nb, sub_x, sub_y, gh_pad,
+    bit_depth, nb, sub_x, sub_y, gh_pad, n_seg,
 ):
     def avg_fn(g, base):
         return avg_ref[0, :, pl.ds(base, 128)].astype(jnp.int32)
 
     _apply_groups(
         offs_ref, params_ref, src_ref, rolled_ref, out_ref, avg_fn, gh_pad,
-        bit_depth, nb, sub_x, sub_y,
+        bit_depth, nb, sub_x, sub_y, n_seg=n_seg,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",))
+@functools.partial(jax.jit, static_argnames=("bit_depth", "n_seg"))
 def apply_plane_luma(
     src: jnp.ndarray,  # (B, H, W) int32
     pattern: jnp.ndarray,  # (B, 73, 82) int32
     offsets: jnp.ndarray,  # (B, S, NB) int32
     params: jnp.ndarray,  # (B, P_LEN) int32 (pack_plane_params "y")
     bit_depth: int,
+    n_seg: int = 13,
 ) -> jnp.ndarray:
     b, h, w = src.shape
     s_count = (h + BLOCK - 1) // BLOCK
@@ -526,7 +540,9 @@ def apply_plane_luma(
         ],
         out_specs=pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
     )
-    kernel = functools.partial(_luma_kernel, bit_depth=bit_depth, nb=nb)
+    kernel = functools.partial(
+        _luma_kernel, bit_depth=bit_depth, nb=nb, n_seg=n_seg
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(src.shape, src.dtype),
@@ -535,7 +551,9 @@ def apply_plane_luma(
     )(offsets, params, src, rolled)
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y"))
+@functools.partial(
+    jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "n_seg")
+)
 def apply_plane_chroma(
     src: jnp.ndarray,  # (B, Hc, Wc) int32
     avg_luma: jnp.ndarray,  # (B, Hc, Wc) int32
@@ -545,6 +563,7 @@ def apply_plane_chroma(
     bit_depth: int,
     sub_x: int,
     sub_y: int,
+    n_seg: int = 13,
 ) -> jnp.ndarray:
     b, hc, wc = src.shape
     bh = BLOCK >> sub_y
@@ -565,7 +584,7 @@ def apply_plane_chroma(
     )
     kernel = functools.partial(
         _chroma_kernel, bit_depth=bit_depth, nb=nb, sub_x=sub_x, sub_y=sub_y,
-        gh_pad=gh + 8,
+        gh_pad=gh + 8, n_seg=n_seg,
     )
     return pl.pallas_call(
         kernel,
@@ -605,11 +624,12 @@ def _fused_kernel(
     wpad: int,
     wc: int,
     w: int,
+    n_seg: int,
 ):
     bi = pl.program_id(0)
     _apply_groups(
         offs_ref, params3_ref, y_ref, lrolled_ref, outy_ref, None, 73 + 8,
-        bit_depth, nb, 0, 0, prow=bi,
+        bit_depth, nb, 0, 0, prow=bi, n_seg=n_seg,
     )
     # chroma scaling input: averaged luma computed in-kernel from the
     # luma stripe of this same grid step (already VMEM-resident)
@@ -618,15 +638,17 @@ def _fused_kernel(
     )
     _apply_groups(
         offs_ref, params3_ref, cb_ref, cbrolled_ref, outcb_ref, avg_fn, gh_pad_c,
-        bit_depth, nb, sub_x, sub_y, prow=batch + bi,
+        bit_depth, nb, sub_x, sub_y, prow=batch + bi, n_seg=n_seg,
     )
     _apply_groups(
         offs_ref, params3_ref, cr_ref, crrolled_ref, outcr_ref, avg_fn, gh_pad_c,
-        bit_depth, nb, sub_x, sub_y, prow=2 * batch + bi,
+        bit_depth, nb, sub_x, sub_y, prow=2 * batch + bi, n_seg=n_seg,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y"))
+@functools.partial(
+    jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "n_seg")
+)
 def apply_planes_fused(
     y: jnp.ndarray,  # (B, H, W) int16 (or int32; dtype preserved)
     cb: jnp.ndarray,
@@ -639,6 +661,7 @@ def apply_planes_fused(
     bit_depth: int,
     sub_x: int,
     sub_y: int,
+    n_seg: int = 13,
 ):
     b, h, w = y.shape
     hc, wc = cb.shape[1], cb.shape[2]
@@ -674,7 +697,7 @@ def apply_planes_fused(
     kernel = functools.partial(
         _fused_kernel, batch=b, bit_depth=bit_depth, nb=nb,
         sub_x=sub_x, sub_y=sub_y, gh_pad_c=gh_c + 8,
-        wpad=wpad, wc=wc, w=w,
+        wpad=wpad, wc=wc, w=w, n_seg=n_seg,
     )
     return pl.pallas_call(
         kernel,

@@ -103,3 +103,24 @@ def test_extreme_scaling_curve():
     p = sample_grain_params(seed=3)
     p.scaling_points_y = [(0, 0), (1, 255), (2, 0), (128, 200), (255, 10)]
     _check([p])
+
+
+def test_nseg_specialized_10bit():
+    """host-params path specializes the scaling segment loop to the
+    batch's actual point count AND takes the shared dual-point (pair)
+    evaluation at high bit depth — both must stay bit-exact."""
+    _check([sample_grain_params(seed=777)], bit_depth=10, host_patterns=True)
+
+
+def test_nseg_dense_curve():
+    """A full 14-point curve under host-params specialization (n_seg
+    hits the syntax maximum of 13) at 10-bit, mixed with a sparse one."""
+    p = sample_grain_params(seed=9)
+    p.scaling_points_y = [
+        (x, (x * 7 + 13 * (i % 5)) % 256)
+        for i, x in enumerate(range(0, 256, 19))
+    ][:14]
+    q = sample_grain_params(seed=10)
+    q.scaling_points_y = [(0, 30), (255, 60)]
+    _check([p, q], bit_depth=10, host_patterns=True)
+    _check([p, q], host_patterns=True)
