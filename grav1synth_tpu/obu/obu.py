@@ -336,10 +336,16 @@ class GrainRewriter:
         hdr_bytes = data[p.start_byte : p.payload_start]
         if new_size != old_size:
             if p.leb_size_pos is None:
-                raise ValueError(
-                    "cannot resize an OBU without a size field; "
-                    "annexb-style framing is not supported for rewrite"
-                )
-            hdr_prefix = data[p.start_byte : p.leb_size_pos]
-            hdr_bytes = hdr_prefix + leb128_encode(new_size)
+                # low-overhead framing: the OBU inherited its size from
+                # the packet end (spec 5.2: only the last OBU of a TU
+                # may omit the field), so resizing is expressed by
+                # ADDING a size field — set obu_has_size_field in the
+                # header byte and insert the LEB128 size. Conformant
+                # for any decoder; later passes see a sized OBU.
+                hdr_prefix = bytearray(data[p.start_byte : p.payload_start])
+                hdr_prefix[0] |= 0x02  # obu_has_size_field
+                hdr_bytes = bytes(hdr_prefix) + leb128_encode(new_size)
+            else:
+                hdr_prefix = data[p.start_byte : p.leb_size_pos]
+                hdr_bytes = hdr_prefix + leb128_encode(new_size)
         return bytes(hdr_bytes) + new_payload

@@ -184,6 +184,48 @@ class TestRewrite:
         # output must shrink (grain syntax dropped)
         assert sum(map(len, new_data)) < sum(len(p.data) for p in packets)
 
+    def test_low_overhead_framing_gains_size_field(self):
+        """A last-in-TU OBU without a size field (low-overhead framing,
+        spec 5.2) parses via packet-end size inference, and a resizing
+        rewrite ADDS the size field rather than failing."""
+        cfg = MiniSeqConfig(film_grain_params_present=False)
+        packets = build_stream(cfg, [{}, {"frame_type": FrameType.INTER}])
+        parser = Av1Parser()
+        stripped = []
+        for pkt in packets:
+            parsed = parser.parse_packet(pkt.data, 0)
+            last = parsed[-1]
+            assert last.header.obu_type == ObuType.FRAME
+            buf = bytearray(pkt.data)
+            del buf[last.leb_size_pos : last.leb_size_pos + last.leb_size_len]
+            buf[last.start_byte] &= ~0x02
+            stripped.append(bytes(buf))
+        # the stripped stream still parses (size inferred from packet end)
+        p2 = Av1Parser()
+        for data in stripped:
+            parsed = p2.parse_packet(data, 0)
+            assert parsed[-1].leb_size_pos is None
+            assert parsed[-1].frame is not None
+
+        params = sample_grain_params(seed=100)
+        seg = GrainTableSegment(0, 10_000_000_000, params)
+        p3 = Av1Parser()
+        rw = GrainRewriter([seg])
+        out = []
+        for i, data in enumerate(stripped):
+            parsed = p3.parse_packet(data, i)
+            out.append(rw.rewrite_packet(data, parsed, i, p3.sequence_header))
+        p4 = Av1Parser()
+        n_grain = 0
+        for data in out:
+            for p in p4.parse_packet(data, 0):
+                if p.header.obu_type == ObuType.FRAME:
+                    assert p.leb_size_pos is not None  # size field added
+                if p.frame is not None:
+                    assert p.frame.grain.action == GrainAction.UPDATE
+                    n_grain += 1
+        assert n_grain == 2
+
     def test_remove_is_noop_on_grainless_stream_bytes(self):
         """Removing from a stream with fgp=0 must keep frame OBUs
         byte-identical (only the already-zero seq flag is 'flipped')."""
