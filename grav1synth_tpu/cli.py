@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="continue an interrupted IVF rewrite from its last complete packet",
     )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=1,
+        help="rewrite GOP ranges in N parallel processes (IVF inputs; "
+        "output is byte-identical to --shards 1)",
+    )
 
     p = sub.add_parser("generate", help="add photon-noise grain at a given ISO")
     p.add_argument("input")
@@ -76,6 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-y", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--shards", type=int, default=1)
 
     p = sub.add_parser(
         "estimate",
@@ -111,9 +119,17 @@ def main(argv=None) -> int:
             print(f"Done, wrote grain table ({len(segments)} segments)")
     elif args.command == "apply":
         _check_paths(args.input, args.output, args.y or args.resume)
-        n = pipelines.apply_table(
-            args.input, args.output, args.grain, resume=args.resume
-        )
+        if args.shards > 1:
+            from .parallel.host_shard import sharded_rewrite_ivf
+            from .tables import load_table
+
+            n = sharded_rewrite_ivf(
+                args.input, args.output, load_table(args.grain), args.shards
+            )
+        else:
+            n = pipelines.apply_table(
+                args.input, args.output, args.grain, resume=args.resume
+            )
         print(f"Done, rewrote {n} video packets")
     elif args.command == "generate":
         _check_paths(args.input, args.output, args.y)
@@ -121,7 +137,12 @@ def main(argv=None) -> int:
         print(f"Done, rewrote {n} video packets (ISO {args.iso:g})")
     elif args.command == "remove":
         _check_paths(args.input, args.output, args.y or args.resume)
-        n = pipelines.remove(args.input, args.output, resume=args.resume)
+        if args.shards > 1:
+            from .parallel.host_shard import sharded_rewrite_ivf
+
+            n = sharded_rewrite_ivf(args.input, args.output, None, args.shards)
+        else:
+            n = pipelines.remove(args.input, args.output, resume=args.resume)
         print(f"Done, rewrote {n} video packets")
     elif args.command == "estimate":
         segments = pipelines.estimate(args.input, args.output, args.raw)

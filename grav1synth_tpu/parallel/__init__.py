@@ -20,4 +20,15 @@ __all__ = [
     "pad_batch",
     "sharded_apply",
     "sharded_apply_with_stats",
+    "sharded_inspect_ivf",
+    "sharded_rewrite_ivf",
 ]
+
+
+def __getattr__(name):
+    # host_shard pulls in multiprocessing/container deps; import lazily
+    if name in ("sharded_inspect_ivf", "sharded_rewrite_ivf"):
+        from . import host_shard
+
+        return getattr(host_shard, name)
+    raise AttributeError(name)

@@ -1,10 +1,14 @@
-"""Multi-process sharded inspect: GOP-parallel header extraction.
+"""Multi-process sharded inspect/rewrite: GOP-parallel packet work.
 
 The reference's packet loop is single-threaded; here the video time
 axis is sharded across worker processes (one per host/core), each
 walking its own keyframe-aligned packet range with a self-contained
-parser, and the per-shard aggregates merge associatively
-(tables.merge_segment_runs) into the exact single-pass result.
+parser. Inspect merges per-shard aggregates associatively
+(tables.merge_segment_runs) into the exact single-pass result; rewrite
+produces the exact single-pass output BYTES regardless of shard count
+by prefix-summing the per-segment seed-decorrelation counters across
+shards (SURVEY §7 hard part 6: per-frame seed mutation must not depend
+on loop order).
 
 Shard boundaries must sit on keyframes: an AV1 keyframe resets the
 reference slots, making the header walk independent of earlier GOPs
@@ -19,9 +23,16 @@ import multiprocessing as mp
 from typing import List, Optional, Sequence, Tuple
 
 from ..container import ivf
-from ..obu import Av1Parser, GrainAction
+from ..obu import Av1Parser, GrainAction, GrainRewriter
 from ..obu.types import GrainTableSegment
 from ..tables import aggregate_grain_headers, merge_segment_runs
+
+
+def _av1_ts(pts: int, tb_num: int, tb_den: int) -> int:
+    """pts -> 1/10^7-s ticks, ceiling (same rule as pipelines)."""
+    if pts < 0 or tb_den == 0:
+        return 0
+    return -(-pts * tb_num * 10_000_000 // tb_den)
 
 
 def keyframe_flags(packets: Sequence[ivf.IvfPacket]) -> List[bool]:
@@ -115,3 +126,96 @@ def sharded_inspect_ivf(
     if not merged:
         return None
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Sharded rewrite (apply / remove)
+
+
+def _prime_parser(parser: Av1Parser, packets, upto: int) -> None:
+    """Feed leading packets until the stream's sequence header is seen —
+    shards that start mid-stream still need it for the header walk."""
+    for p in packets[:upto]:
+        parser.parse_packet(p.data, 0)
+        if parser.sequence_header is not None:
+            return
+
+
+def _rewrite_shard(args):
+    """Rewrite one keyframe-aligned packet range. Returns (bytes list,
+    per-segment match-count deltas). Deltas depend only on timestamps
+    and frame headers — never on the initial counts — so a zero-init
+    pass yields correct deltas for the cross-shard prefix sum."""
+    path, start, end, segments, init_counts = args
+    header, packets = ivf.read_ivf(path)
+    tb_num, tb_den = header.time_base
+    parser = Av1Parser()
+    if start > 0:
+        _prime_parser(parser, packets, start)
+    rw = GrainRewriter(segments)
+    if init_counts is not None:
+        rw.set_match_counts(init_counts)
+    out = []
+    for p in packets[start:end]:
+        ts = _av1_ts(p.pts, tb_num, tb_den)
+        parsed = parser.parse_packet(p.data, ts)
+        out.append(rw.rewrite_packet(p.data, parsed, ts, parser.sequence_header))
+    return out, rw.seed_match_counts()
+
+
+def sharded_rewrite_ivf(
+    path: str,
+    out_path: str,
+    segments: Optional[List[GrainTableSegment]],
+    n_shards: int = 4,
+) -> int:
+    """Parallel apply/remove over an IVF file, byte-identical to the
+    single-pass pipeline for any shard count.
+
+    The per-frame seed decorrelation counts segment matches in frame
+    order, so shard i must start from the counts accumulated by shards
+    < i. Phase 1 runs every shard with zero counts (correct for shard
+    0, and it yields each shard's count DELTAS, which are
+    init-independent); shards whose prefix sum is nonzero re-run with
+    the proper initial counts. Removal (segments=None) has no counters
+    and finishes in one phase."""
+    header, packets = ivf.read_ivf(path)
+    flags = keyframe_flags(packets)
+    shards = plan_shards(flags, n_shards)
+
+    jobs = [(path, s, e, segments, None) for s, e in shards]
+    if len(jobs) == 1:
+        results = [_rewrite_shard(jobs[0])]
+    else:
+        with mp.get_context("spawn").Pool(len(jobs)) as pool:
+            results = pool.map(_rewrite_shard, jobs)
+
+    outs = [r[0] for r in results]
+    if segments:
+        n_seg = len(segments)
+        prefix = [0] * n_seg
+        redo = []
+        prefixes = {}
+        for i, (_, delta) in enumerate(results):
+            if i > 0 and any(prefix):
+                prefixes[i] = list(prefix)
+                redo.append(i)
+            prefix = [a + b for a, b in zip(prefix, delta)]
+        if redo:
+            jobs2 = [
+                (path, shards[i][0], shards[i][1], segments, prefixes[i])
+                for i in redo
+            ]
+            if len(jobs2) == 1:
+                fixed = [_rewrite_shard(jobs2[0])]
+            else:
+                with mp.get_context("spawn").Pool(len(jobs2)) as pool:
+                    fixed = pool.map(_rewrite_shard, jobs2)
+            for i, r in zip(redo, fixed):
+                outs[i] = r[0]
+
+    flat = [d for shard_out in outs for d in shard_out]
+    ivf.write_ivf(
+        out_path, header, [ivf.IvfPacket(p.pts, d) for p, d in zip(packets, flat)]
+    )
+    return len(flat)

@@ -117,3 +117,72 @@ class TestHostShard:
         assert [
             (s.start_time, s.end_time) for s in sharded
         ] == [(s.start_time, s.end_time) for s in single]
+
+    def _multi_gop_ivf(self, tmp_path, name="m.ivf", n=24):
+        import numpy as np
+
+        from grav1synth_tpu.container.ffshim import Encoder
+        from grav1synth_tpu.container.ivf import IvfHeader, IvfPacket, write_ivf
+
+        rng = np.random.default_rng(7)
+        frames = []
+        for _ in range(n):
+            y = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+            u = np.full((32, 32), 128, np.uint8)
+            frames.append((y, u, u.copy()))
+        enc = Encoder(64, 64, 8, extra_opts="g=6:keyint_min=6")
+        pkts = enc.encode_frames(frames)
+        enc.close()
+        path = tmp_path / name
+        write_ivf(
+            str(path),
+            IvfHeader(width=64, height=64, timebase_den=24, timebase_num=1),
+            [IvfPacket(p.pts, p.data) for p in pkts],
+        )
+        return str(path)
+
+    @pytest.mark.parametrize("n_shards", [1, 3])
+    def test_sharded_apply_rewrite_byte_identical(self, tmp_path, n_shards):
+        """Sharded apply must produce the exact single-pass bytes for
+        any shard count (seed counters prefix-summed across shards).
+        Two segments exercise per-segment counting."""
+        from grav1synth_tpu import pipelines
+        from grav1synth_tpu.obu import GrainTableSegment
+        from grav1synth_tpu.parallel.host_shard import sharded_rewrite_ivf
+        from grav1synth_tpu.tables import dump_table
+
+        path = self._multi_gop_ivf(tmp_path)
+        mid = -(-12 * 10_000_000 // 24)
+        segs = [
+            GrainTableSegment(0, mid, sample_grain_params(seed=5)),
+            GrainTableSegment(mid, 10**14, sample_grain_params(seed=901)),
+        ]
+        tbl = tmp_path / "t.tbl"
+        dump_table(segs, str(tbl))
+        serial = tmp_path / "serial.ivf"
+        pipelines.apply_table(path, str(serial), str(tbl), progress=False)
+        shard_out = tmp_path / f"shard{n_shards}.ivf"
+        from grav1synth_tpu.tables import load_table
+
+        n = sharded_rewrite_ivf(path, str(shard_out), load_table(str(tbl)), n_shards)
+        assert n == 24
+        assert shard_out.read_bytes() == serial.read_bytes()
+
+    def test_sharded_remove_byte_identical(self, tmp_path):
+        from grav1synth_tpu import pipelines
+        from grav1synth_tpu.obu import GrainTableSegment
+        from grav1synth_tpu.parallel.host_shard import sharded_rewrite_ivf
+        from grav1synth_tpu.tables import dump_table
+
+        path = self._multi_gop_ivf(tmp_path, name="m2.ivf")
+        # first graft grain on, then compare serial vs sharded removal
+        segs = [GrainTableSegment(0, 10**14, sample_grain_params(seed=5))]
+        tbl = tmp_path / "t2.tbl"
+        dump_table(segs, str(tbl))
+        grainy = tmp_path / "grainy.ivf"
+        pipelines.apply_table(path, str(grainy), str(tbl), progress=False)
+        serial = tmp_path / "serial_rm.ivf"
+        pipelines.remove(str(grainy), str(serial), progress=False)
+        shard_out = tmp_path / "shard_rm.ivf"
+        sharded_rewrite_ivf(str(grainy), str(shard_out), None, 3)
+        assert shard_out.read_bytes() == serial.read_bytes()
