@@ -71,14 +71,18 @@ def measure_tpu_fps() -> float:
     _ = np.asarray(cur[0, :1, :8])
 
     # dependency-chained timing: iteration k consumes iteration k-1's
-    # output, so the device must fully execute each batch in sequence
-    t0 = time.time()
-    cur = y
-    for _ in range(N_ITERS):
-        cur = apply(cur)
-    _ = np.asarray(cur[0, :1, :8])  # sync
-    elapsed = time.time() - t0
-    return B * N_ITERS / elapsed
+    # output, so the device must fully execute each batch in sequence.
+    # best-of-3 repeats filter remote-runtime scheduling noise.
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        cur = y
+        for _ in range(N_ITERS):
+            cur = apply(cur)
+        _ = np.asarray(cur[0, :1, :8])  # sync
+        elapsed = time.time() - t0
+        best = max(best, B * N_ITERS / elapsed)
+    return best
 
 
 def measure_dav1d_baseline_fps() -> float:
@@ -140,13 +144,19 @@ def measure_dav1d_baseline_fps() -> float:
         dec.close()
         return dt, n
 
-    # warm once, then best-of-3 per path (the grain delta is a few
-    # percent of decode time; min filtering suppresses scheduler noise)
+    # warm both paths, then time interleaved off/on pairs and take the
+    # median per-pair delta: the grain cost is a fraction of decode
+    # time, and host-load drift between separate off and on phases
+    # would otherwise dominate the difference
     decode_time(False)
-    t_off = min(decode_time(False)[0] for _ in range(3))
-    t_on = min(decode_time(True)[0] for _ in range(3))
+    decode_time(True)
+    deltas = []
+    for _ in range(5):
+        t_off, _ = decode_time(False)
+        t_on, _ = decode_time(True)
+        deltas.append(t_on - t_off)
     n = len(data)
-    grain_cost = max((t_on - t_off) / n, 1e-4)
+    grain_cost = max(float(np.median(deltas)) / n, 1e-4)
     return 1.0 / grain_cost
 
 
