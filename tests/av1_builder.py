@@ -30,11 +30,23 @@ class MiniSeqConfig:
     film_grain_params_present: bool = False
     bit_depth: int = 8
     monochrome: bool = False
+    # operating_point_idc[0]: bits 0-7 temporal-layer mask, 8-11 spatial
+    # (0 = applies to all layers; nonzero enables OBU layer filtering)
+    op_idc: int = 0
 
 
-def build_obu(obu_type: int, payload: bytes) -> bytes:
-    """Wrap a payload with an OBU header + leb128 size."""
-    header = bytes([(obu_type << 3) | 0x02])  # has_size_field=1
+def build_obu(obu_type: int, payload: bytes, extension=None) -> bytes:
+    """Wrap a payload with an OBU header + leb128 size.
+
+    ``extension``: optional (temporal_id, spatial_id) — emits the
+    obu_extension_flag and extension byte (scalable streams)."""
+    if extension is None:
+        header = bytes([(obu_type << 3) | 0x02])  # has_size_field=1
+    else:
+        tid, sid = extension
+        header = bytes(
+            [(obu_type << 3) | 0x04 | 0x02, (tid << 5) | (sid << 3)]
+        )
     return header + leb128_encode(len(payload)) + payload
 
 
@@ -51,7 +63,7 @@ def build_sequence_header(cfg: MiniSeqConfig) -> bytes:
     w.put(0, 1)  # timing_info_present_flag
     w.put(0, 1)  # initial_display_delay_present_flag
     w.put(0, 5)  # operating_points_cnt_minus_1
-    w.put(0, 12)  # operating_point_idc[0]
+    w.put(cfg.op_idc, 12)  # operating_point_idc[0]
     w.put(0, 5)  # seq_level_idx[0]  (<=7: no seq_tier)
     w.put(15, 4)  # frame_width_bits_minus_1
     w.put(15, 4)  # frame_height_bits_minus_1
@@ -103,6 +115,7 @@ def build_frame(
     grain_disabled_bit: bool = False,
     tile_payload: bytes = b"\x00\x01\x02\x03",
     show_frame: bool = True,
+    extension=None,
 ) -> bytes:
     """Build a Frame OBU (header + single tile group).
 
@@ -179,7 +192,7 @@ def build_frame(
         w.put(0, 1)  # apply_grain = 0
     w.byte_align(0)
     payload = w.getvalue() + tile_payload
-    return build_obu(6, payload)
+    return build_obu(6, payload, extension=extension)
 
 
 def sample_grain_params(seed: int = 7391) -> FilmGrainParams:

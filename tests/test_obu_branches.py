@@ -187,3 +187,69 @@ def test_show_existing_frame():
     parser2.parse_packet(data, 0)
     parsed = parser2.parse_packet(pkt2, 1)
     assert rw.rewrite_packet(pkt2, parsed, 1, parser2.sequence_header) == pkt2
+
+
+class TestLayerFiltering:
+    """Scalable (SVC) streams: OBUs of layers outside the selected
+    operating point are skipped by the parser and passed through
+    verbatim on rewrite (reference obu.rs:90-113)."""
+
+    def _stream(self):
+        from av1_builder import build_frame, build_sequence_header
+
+        # operating point 0 selects temporal layer 0, spatial layer 0
+        cfg = MiniSeqConfig(film_grain_params_present=True, op_idc=0x101)
+        params = sample_grain_params(seed=44)
+        base = build_frame(cfg, FrameType.KEY, grain=params, extension=(0, 0))
+        enh = build_frame(
+            cfg, FrameType.KEY, grain=params, extension=(1, 0)
+        )
+        data = (
+            build_temporal_delimiter()
+            + build_sequence_header(cfg)
+            + base
+            + enh
+        )
+        return cfg, data, enh
+
+    def test_dropped_layer_is_skipped(self):
+        _, data, enh = self._stream()
+        parser = Av1Parser()
+        parsed = parser.parse_packet(data, 0)
+        frames = [p for p in parsed if p.header.obu_type.name == "FRAME"]
+        assert len(frames) == 2
+        assert frames[0].frame is not None  # base layer parsed
+        assert frames[0].frame.grain.action == GrainAction.UPDATE
+        assert frames[1].frame is None  # enhancement layer filtered
+        assert frames[1].header.extension.temporal_id == 1
+
+    def test_dropped_layer_passthrough_on_rewrite(self):
+        _, data, enh = self._stream()
+        parser = Av1Parser()
+        parsed = parser.parse_packet(data, 0)
+        rw = GrainRewriter(None)  # remove
+        out = rw.rewrite_packet(data, parsed, 0, parser.sequence_header)
+        assert enh in out  # filtered OBU byte-identical in output
+        # base layer's grain is gone, enhancement untouched
+        p2 = Av1Parser()
+        reparsed = p2.parse_packet(out, 0)
+        frames = [p for p in reparsed if p.header.obu_type.name == "FRAME"]
+        assert frames[0].frame.grain.action == GrainAction.DISABLE
+        assert frames[1].frame is None
+
+    def test_selected_layer_with_extension_parses(self):
+        """extension present + idc bit set -> NOT filtered."""
+        from av1_builder import build_frame, build_sequence_header
+
+        cfg = MiniSeqConfig(film_grain_params_present=True, op_idc=0x303)
+        params = sample_grain_params(seed=45)
+        data = (
+            build_temporal_delimiter()
+            + build_sequence_header(cfg)
+            + build_frame(cfg, FrameType.KEY, grain=params, extension=(1, 1))
+        )
+        parser = Av1Parser()
+        parsed = parser.parse_packet(data, 0)
+        frames = [p for p in parsed if p.frame is not None]
+        assert len(frames) == 1
+        assert frames[0].frame.grain.action == GrainAction.UPDATE
