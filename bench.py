@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 import numpy as np
 
-B = int(os.environ.get("GRAV1_BENCH_BATCH", "16"))
+# B=32 amortizes the per-launch dispatch overhead; the flat packed
+# offset encoding keeps its scalar-prefetch footprint in SMEM (B=64
+# exceeds the 16 MB scoped-vmem stack for the 3-plane rolled buffers)
+B = int(os.environ.get("GRAV1_BENCH_BATCH", "32"))
 N_ITERS = int(os.environ.get("GRAV1_BENCH_ITERS", "6"))
 H, W, BIT_DEPTH = 2160, 3840, 10
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")

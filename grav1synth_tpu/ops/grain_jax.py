@@ -409,6 +409,20 @@ def block_offsets(seed: jnp.ndarray, num_stripes: int, blocks: int) -> jnp.ndarr
     return outs.reshape(seed.shape[0], num_stripes, blocks)
 
 
+def pack_offsets(offs: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, NB) 8-bit randoms -> flat (B*S*ceil(NB/4),) int32 words,
+    4 randoms per word little-endian. The offsets ride SMEM via scalar
+    prefetch, and Mosaic pads each SMEM array dimension (minor to 128,
+    second-minor to 8) — so beyond the 4x byte packing, the flat 1-D
+    layout is what actually keeps large batches under the 1 MB SMEM
+    budget (a (B, S, NBP) layout pads straight back to (B, S', 128))."""
+    b, s, nb = offs.shape
+    pad = (-nb) % 4
+    o = jnp.pad(offs, ((0, 0), (0, 0), (0, pad))).reshape(b, s, -1, 4)
+    sh = jnp.arange(4, dtype=jnp.int32) * 8
+    return jnp.sum(o << sh, axis=-1).astype(jnp.int32).reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # Noise plane assembly (index maps + gathers)
 

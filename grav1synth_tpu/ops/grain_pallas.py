@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .grain_jax import BLOCK, GrainParamsBatch
+from .grain_jax import BLOCK, GrainParamsBatch, pack_offsets
 
 # packed per-frame parameter layout (int32 scalars)
 P_ACTIVE = 0
@@ -322,6 +322,14 @@ def _make_inkernel_avg(
     return avg_fn
 
 
+def _rand_at(offs_ref, bi, s, blk, nbp: int):
+    """Read one 8-bit offset random from the flat packed SMEM words
+    (pack_offsets: 4 per int32, little-endian; row stride nbp words,
+    frame stride num_stripes rows)."""
+    word = offs_ref[(bi * pl.num_programs(1) + s) * nbp + (blk >> 2)]
+    return (word >> ((blk & 3) * 8)) & 0xFF
+
+
 def _off_xy(rand, sub_x: int, sub_y: int):
     offx = 3 + (2 >> sub_x) * (3 + (rand >> 4))
     offy = 3 + (2 >> sub_y) * (3 + (rand & 15))
@@ -394,10 +402,11 @@ def _group_noise(
     for j in range(k):
         blk = jnp.minimum(g * k + j, nb - 1)
         blk_l = jnp.maximum(blk - 1, 0)
-        rand = offs_ref[bi, s, blk]
-        rand_l = offs_ref[bi, s, blk_l]
-        rand_t = offs_ref[bi, s_top, blk]
-        rand_tl = offs_ref[bi, s_top, blk_l]
+        nbp = (nb + 3) // 4
+        rand = _rand_at(offs_ref, bi, s, blk, nbp)
+        rand_l = _rand_at(offs_ref, bi, s, blk_l, nbp)
+        rand_t = _rand_at(offs_ref, bi, s_top, blk, nbp)
+        rand_tl = _rand_at(offs_ref, bi, s_top, blk_l, nbp)
         oy = _off_xy(rand, sub_x, sub_y)[1]
         oy_l = _off_xy(rand_l, sub_x, sub_y)[1]
         oy_t = _off_xy(rand_t, sub_x, sub_y)[1]
@@ -548,7 +557,7 @@ def apply_plane_luma(
         out_shape=jax.ShapeDtypeStruct(src.shape, src.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(offsets, params, src, rolled)
+    )(pack_offsets(offsets), params, src, rolled)
 
 
 @functools.partial(
@@ -591,7 +600,7 @@ def apply_plane_chroma(
         out_shape=jax.ShapeDtypeStruct(src.shape, src.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(offsets, params, src, avg_luma, rolled)
+    )(pack_offsets(offsets), params, src, avg_luma, rolled)
 
 
 # ---------------------------------------------------------------------------
@@ -709,6 +718,6 @@ def apply_planes_fused(
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(
-        offsets, params3, y, cb, cr, lrolled, cbrolled, crrolled,
+        pack_offsets(offsets), params3, y, cb, cr, lrolled, cbrolled, crrolled,
         jnp.asarray(avg_r), jnp.asarray(avg_p),
     )
