@@ -220,6 +220,10 @@ def _prerolled(pattern: jnp.ndarray, gh_pad: int, sub_x: int) -> jnp.ndarray:
         # terms; single-pass DEFAULT is not exact, HIGHEST wastes 2x
         precision=jax.lax.Precision.HIGH,
     )
+    # int32, not int16: the kernel row-slices these buffers at arbitrary
+    # (odd) dynamic offsets, which Mosaic only supports for 32-bit
+    # element types (16-bit packs two sublanes per physical row and
+    # requires statically-even indices)
     return rolled.astype(jnp.int32).reshape(b, 16 * k * gh_pad, 128)
 
 
