@@ -46,6 +46,13 @@ def _params(batch):
 
 def measure_tpu_fps() -> float:
     import jax
+
+    # persistent XLA compile cache: first-ever bench run pays the
+    # (remote-runtime) compile, every later run loads from disk
+    os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from grav1synth_tpu.ops import grain_jax
 
@@ -136,7 +143,7 @@ def measure_dav1d_baseline_fps() -> float:
     # loop the GOP several times so the grain-synthesis delta rises well
     # above decode timing noise (the stream starts at a keyframe, so
     # repetition is decodable)
-    loops = 16
+    loops = 8
     data = [(p.data, i) for i in range(loops) for p in pkts]
 
     def decode_time(apply_grain):
@@ -154,7 +161,7 @@ def measure_dav1d_baseline_fps() -> float:
     decode_time(False)
     decode_time(True)
     deltas = []
-    for _ in range(5):
+    for _ in range(3):
         t_off, _ = decode_time(False)
         t_on, _ = decode_time(True)
         deltas.append(t_on - t_off)
@@ -174,7 +181,16 @@ def main() -> None:
         fps = measure_tpu_fps()
         result["value"] = round(fps, 2)
         try:
-            base = measure_dav1d_baseline_fps()
+            # the dav1d baseline is a host-side constant: measure once,
+            # cache the number (delete .bench_cache to re-measure)
+            base_path = os.path.join(CACHE, "dav1d_baseline.json")
+            if os.path.exists(base_path):
+                with open(base_path) as fh:
+                    base = json.load(fh)["fps"]
+            else:
+                base = measure_dav1d_baseline_fps()
+                with open(base_path, "w") as fh:
+                    json.dump({"fps": base}, fh)
             result["baseline_dav1d_singlethread_fps"] = round(base, 2)
             result["vs_baseline"] = round(fps / base, 2)
         except Exception as e:  # baseline failure must not kill the bench

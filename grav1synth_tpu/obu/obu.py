@@ -79,9 +79,23 @@ class Av1Parser:
         self.last_tile_info: Optional[TileInfo] = None
         self.trace = None  # optional TraceFn forwarded to BitReaders
 
-    def parse_packet(self, data: bytes, packet_ts: int = 0) -> List[ParsedObu]:
-        """Parse every OBU in a temporal-unit packet."""
+    def parse_packet(
+        self,
+        data: bytes,
+        packet_ts: int = 0,
+        extents: Optional[List[Tuple[int, int]]] = None,
+    ) -> List[ParsedObu]:
+        """Parse every OBU in a temporal-unit packet.
+
+        ``extents`` supplies explicit per-OBU (start, end) byte ranges
+        for framings that carry OBU lengths outside the OBU itself
+        (Annex B ``obu_length``, spec B.2): a size-field-less OBU then
+        ends at its extent instead of at the packet end."""
         out: List[ParsedObu] = []
+        if extents is not None:
+            for start, end in extents:
+                out.append(self._parse_one(data, start, packet_ts, end))
+            return out
         pos = 0
         n = len(data)
         while pos < n:
@@ -92,7 +106,9 @@ class Av1Parser:
 
     # ------------------------------------------------------------------
 
-    def _parse_one(self, data: bytes, start: int, packet_ts: int) -> ParsedObu:
+    def _parse_one(
+        self, data: bytes, start: int, packet_ts: int, end: Optional[int] = None
+    ) -> ParsedObu:
         r = BitReader(data, start_bit=start * 8)
         r.trace = self.trace
         r.zero_bit("obu_forbidden_bit")
@@ -115,7 +131,7 @@ class Av1Parser:
             obu_size = r.leb128("obu_size")
             leb_size_len = r.byte_pos() - leb_size_pos
         else:
-            obu_size = len(data) - r.byte_pos()
+            obu_size = (end if end is not None else len(data)) - r.byte_pos()
 
         payload_start = r.byte_pos()
         payload_end = payload_start + obu_size
@@ -257,10 +273,18 @@ class GrainRewriter:
         packet_ts: int,
         seq: Optional[SequenceHeader],
     ) -> bytes:
-        out = bytearray()
-        for p in parsed:
-            out.extend(self._rewrite_obu(data, p, packet_ts, seq))
-        return bytes(out)
+        return b"".join(self.rewrite_obus(data, parsed, packet_ts, seq))
+
+    def rewrite_obus(
+        self,
+        data: bytes,
+        parsed: List[ParsedObu],
+        packet_ts: int,
+        seq: Optional[SequenceHeader],
+    ) -> List[bytes]:
+        """Per-OBU rewritten bytes, for framings that must re-encode
+        external per-OBU lengths (Annex B obu_length, spec B.2)."""
+        return [self._rewrite_obu(data, p, packet_ts, seq) for p in parsed]
 
     # ------------------------------------------------------------------
 

@@ -13,7 +13,7 @@ import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
-from .container import ivf
+from .container import annexb, ivf
 from .obu import Av1Parser, GrainAction, GrainRewriter, GrainTableSegment
 from .tables import aggregate_grain_headers, dump_table, load_table
 from .utils.progress import Progress
@@ -41,17 +41,38 @@ class VideoPacket:
     av1_ts: int
     stream_index: int = 0
     is_video: bool = True
+    # explicit per-OBU extents for framings whose OBU lengths live
+    # outside the OBUs (Annex B); None = size-field/packet-end framing
+    obu_extents: Optional[List[Tuple[int, int]]] = None
+
+
+# raw elementary streams carry no timing; FFmpeg's AV1 demuxers assume
+# 25 fps for them and the reference inherits that via libavformat
+RAW_STREAM_FPS = 25
 
 
 class VideoFile:
-    """Unified video input: pure-IVF or shim-demuxed."""
+    """Unified video input: pure-IVF, raw AV1 (Annex B or bare
+    Section 5), or shim-demuxed containers."""
 
     def __init__(self, path: str):
         self.path = path
         with open(path, "rb") as fh:
             magic = fh.read(4)
-        self.is_ivf = magic == ivf.IVF_MAGIC
-        if self.is_ivf:
+        self.kind = "shim"
+        self._demux = None
+        self._tus = None
+        if magic == ivf.IVF_MAGIC:
+            self.kind = "ivf"
+        else:
+            with open(path, "rb") as fh:
+                head = fh.read(1 << 16)
+            if annexb.detect_annexb(head):
+                self.kind = "annexb"
+            elif annexb.detect_section5(head):
+                self.kind = "section5"
+        self.is_ivf = self.kind == "ivf"
+        if self.kind == "ivf":
             self._header, self._packets = ivf.read_ivf(path)
             self.time_base = self._header.time_base
             self.fps = (self._header.timebase_den, self._header.timebase_num)
@@ -61,7 +82,20 @@ class VideoFile:
             self.bit_depth = 0  # resolved from the sequence header
             self.transfer = 2
             self.full_range = False
-            self._demux = None
+        elif self.kind in ("annexb", "section5"):
+            with open(path, "rb") as fh:
+                data = fh.read()
+            if self.kind == "annexb":
+                self._tus = annexb.parse_annexb(data)
+            else:
+                self._tus = annexb.split_section5_tus(data)
+            self.time_base = (1, RAW_STREAM_FPS)
+            self.fps = (RAW_STREAM_FPS, 1)
+            self.width = self.height = 0  # from the sequence header
+            self.nb_frames = len(self._tus)
+            self.bit_depth = 0
+            self.transfer = 2
+            self.full_range = False
         else:
             from .container.ffshim import Demuxer
 
@@ -81,7 +115,7 @@ class VideoFile:
     def packets(self) -> Iterator[VideoPacket]:
         """All packets, with AV1 timestamps attached to video ones."""
         num, den = self.time_base
-        if self.is_ivf:
+        if self.kind == "ivf":
             for p in self._packets:
                 yield VideoPacket(
                     data=p.data,
@@ -90,6 +124,28 @@ class VideoFile:
                     duration=1,
                     flags=0,
                     av1_ts=pts_to_av1_ts(p.pts, num, den),
+                )
+        elif self.kind == "annexb":
+            for i, tu in enumerate(self._tus):
+                data, ext = annexb.obu_extents(tu)
+                yield VideoPacket(
+                    data=data,
+                    pts=i,
+                    dts=i,
+                    duration=1,
+                    flags=0,
+                    av1_ts=pts_to_av1_ts(i, num, den),
+                    obu_extents=ext,
+                )
+        elif self.kind == "section5":
+            for i, data in enumerate(self._tus):
+                yield VideoPacket(
+                    data=data,
+                    pts=i,
+                    dts=i,
+                    duration=1,
+                    flags=0,
+                    av1_ts=pts_to_av1_ts(i, num, den),
                 )
         else:
             for p in self._demux.packets():
@@ -120,6 +176,13 @@ class VideoFile:
 # ---------------------------------------------------------------------------
 
 
+def _decodable(pkt: VideoPacket) -> bytes:
+    """Packet bytes in the size-field framing decoders accept."""
+    if pkt.obu_extents is None:
+        return pkt.data
+    return annexb.tu_to_section5(pkt.data, pkt.obu_extents)
+
+
 def inspect(
     input_path: str, output_path: str, progress: bool = True
 ) -> Optional[List[GrainTableSegment]]:
@@ -134,7 +197,7 @@ def inspect(
         for pkt in vf.packets():
             if not pkt.is_video:
                 continue
-            for obu in parser.parse_packet(pkt.data, pkt.av1_ts):
+            for obu in parser.parse_packet(pkt.data, pkt.av1_ts, pkt.obu_extents):
                 if obu.frame is not None and obu.frame.show_frame:
                     headers.append(obu.frame.grain)
                     bar.step()
@@ -169,10 +232,10 @@ def _rewrite(
         verify = bool(os.environ.get("GRAV1_VERIFY")) or tracing_enabled()
     check_parser = Av1Parser() if verify else None
 
-    def _check(new_data: bytes, ts: int) -> None:
+    def _check(new_data: bytes, ts: int, extents=None) -> None:
         if check_parser is None:
             return
-        for obu in check_parser.parse_packet(new_data, ts):
+        for obu in check_parser.parse_packet(new_data, ts, extents):
             if obu.seq is not None:
                 want = segments is not None
                 if obu.seq.film_grain_params_present != want:
@@ -190,7 +253,33 @@ def _rewrite(
         rewriter = GrainRewriter(segments)
         frames = 0
         bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
-        if vf.is_ivf:
+        if vf.kind in ("annexb", "section5"):
+            # raw elementary streams: rewrite per temporal unit, then
+            # re-emit the framing with re-encoded external lengths
+            # (Annex B obu_length/frame_unit_size/temporal_unit_size);
+            # untouched OBUs round-trip byte-identically
+            with open(output_path, "wb") as out_fh:
+                for pkt in vf.packets():
+                    parsed = parser.parse_packet(
+                        pkt.data, pkt.av1_ts, pkt.obu_extents
+                    )
+                    if vf.kind == "annexb":
+                        new_obus = rewriter.rewrite_obus(
+                            pkt.data, parsed, pkt.av1_ts, parser.sequence_header
+                        )
+                        new_tu = vf._tus[pkt.pts].regroup(new_obus)
+                        new_data, new_ext = annexb.obu_extents(new_tu)
+                        _check(new_data, pkt.av1_ts, new_ext)
+                        out_fh.write(annexb.serialize_annexb([new_tu]))
+                    else:
+                        new_data = rewriter.rewrite_packet(
+                            pkt.data, parsed, pkt.av1_ts, parser.sequence_header
+                        )
+                        _check(new_data, pkt.av1_ts)
+                        out_fh.write(new_data)
+                    frames += 1
+                    bar.step()
+        elif vf.is_ivf:
             skip = 0
             if resume and os.path.exists(output_path):
                 # restart after the last complete output packet; replay
@@ -279,7 +368,9 @@ def generate(
             parser = Av1Parser()
             for pkt in vf.packets():
                 if pkt.is_video:
-                    for obu in parser.parse_packet(pkt.data, pkt.av1_ts):
+                    for obu in parser.parse_packet(
+                        pkt.data, pkt.av1_ts, pkt.obu_extents
+                    ):
                         if obu.seq is not None:
                             width = obu.seq.max_frame_width
                             height = obu.seq.max_frame_height
@@ -313,7 +404,7 @@ def diff(
         def frames_of(vf):
             dec = Decoder("libdav1d", apply_grain=False)
             return dec.decode_all(
-                (p.data, p.pts) for p in vf.packets() if p.is_video
+                (_decodable(p), p.pts) for p in vf.packets() if p.is_video
             )
 
         src_it = frames_of(vs)
@@ -368,7 +459,7 @@ def estimate(
         est: Optional[NoiseEstimator] = None
         bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
         for frame in dec.decode_all(
-            (p.data, p.pts) for p in vf.packets() if p.is_video
+            (_decodable(p), p.pts) for p in vf.packets() if p.is_video
         ):
             if est is None:
                 est = NoiseEstimator(vf.fps, frame.bit_depth)
