@@ -57,12 +57,14 @@ def _apply_step(y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome, backend, axis
     y2, cb2, cr2 = grain_jax.apply_grain(
         y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome, backend=backend
     )
-    # cross-shard QC statistics: global reductions over the sharded
-    # batch axis; under jit+shardings the GSPMD partitioner lowers these
-    # to all-reduce collectives over the mesh (ICI/DCN)
+    # cross-shard QC statistics: each device reduces its local frame
+    # shard, then psums over the mesh axis (lowered to an all-reduce
+    # over ICI/DCN); the scalars come back replicated
     d = (y2 - y).astype(jnp.float32)
-    energy = jnp.sum(d * d)
-    frames = jnp.sum(jnp.ones((y.shape[0],), jnp.float32))
+    energy = jax.lax.psum(jnp.sum(d * d), axis)
+    frames = jax.lax.psum(
+        jnp.sum(jnp.ones((y.shape[0],), jnp.float32)), axis
+    )
     return y2, cb2, cr2, energy, frames
 
 
@@ -80,10 +82,16 @@ def sharded_apply_with_stats(
 ):
     """Apply grain with frames sharded over the mesh; returns
     (y', cb', cr', noise_energy, frame_count) with outputs sharded like
-    the inputs and scalars replicated."""
+    the inputs and scalars replicated.
+
+    shard_map (not bare jit-with-shardings) is the partitioning
+    mechanism: the Pallas grain kernel is a custom call GSPMD cannot
+    split, so each device runs the full per-shard kernel on its local
+    frames and only the scalar statistics cross devices (psum). The
+    parameter batch shards along frames exactly like the planes."""
     axis = mesh.axis_names[0]
-    shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
+    shard = P(axis)
+    none_spec = None
 
     fn = functools.partial(
         _apply_step,
@@ -94,20 +102,18 @@ def sharded_apply_with_stats(
         backend=backend,
         axis=axis,
     )
-    plane_in = shard if not monochrome else None
-    in_shardings = (shard, plane_in, plane_in, repl)
-    out_shardings = (
-        shard,
-        None if monochrome else shard,
-        None if monochrome else shard,
-        repl,
-        repl,
-    )
-    jitted = jax.jit(
-        fn, in_shardings=in_shardings, out_shardings=out_shardings
+    plane = none_spec if monochrome else shard
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(shard, plane, plane, shard),
+        out_specs=(shard, plane, plane, P(), P()),
+        # pallas_call's out_shape carries no varying-mesh-axes metadata,
+        # so the vma consistency check cannot see through the kernel
+        check_vma=False,
     )
     with mesh:
-        return jitted(y, cb, cr, p)
+        return jax.jit(mapped)(y, cb, cr, p)
 
 
 def sharded_apply(mesh: Mesh, y, cb, cr, p, bit_depth, **kw):

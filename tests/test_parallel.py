@@ -15,7 +15,11 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
-def test_sharded_apply_matches_reference():
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_apply_matches_reference(backend):
+    """The production Pallas kernel (interpret mode on the CPU mesh) and
+    the XLA formulation must both shard over the mesh and stay bit-exact
+    vs the dav1d-validated reference, all planes."""
     mesh = make_mesh()
     n = len(mesh.devices)
     b = n
@@ -34,14 +38,16 @@ def test_sharded_apply_matches_reference():
     pb = grain_jax.pack_params(params)
     y2, cb2, cr2, energy, frames = sharded_apply_with_stats(
         mesh, jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), pb, 8,
-        backend="xla",
+        backend=backend,
     )
     assert float(frames) == b
     assert float(energy) > 0
-    y2 = np.asarray(y2)
+    y2, cb2, cr2 = np.asarray(y2), np.asarray(cb2), np.asarray(cr2)
     for i, p in enumerate(params):
         ref = grain_ref.apply_grain_frame([y[i], cb[i], cr[i]], p, 8, 1, 1)
         assert (y2[i].astype(np.int64) == ref[0].astype(np.int64)).all()
+        assert (cb2[i].astype(np.int64) == ref[1].astype(np.int64)).all()
+        assert (cr2[i].astype(np.int64) == ref[2].astype(np.int64)).all()
 
 
 def test_dryrun_multichip():
