@@ -357,27 +357,38 @@ def generate(
 ) -> int:
     """Photon-noise grain from stream properties (reference
     main.rs:245-311: width/height/transfer/range pulled from the input;
-    SMPTE2084 -> PQ model, otherwise BT.1886)."""
+    SMPTE2084 -> PQ model, otherwise BT.1886; JPEG range -> full-range
+    noise model, main.rs:296-304)."""
     from .ops.photon_noise import photon_noise_segment
 
     with VideoFile(input_path) as vf:
         width, height = vf.width, vf.height
         transfer = "smpte2084" if vf.transfer == 16 else "bt1886"
-        if not width or not height:
-            # IVF headers can be zeroed; pull dims from the sequence header
+        full_range = vf.full_range
+        if vf.kind != "shim":
+            # raw framings carry no color metadata (and IVF headers may
+            # even zero the dims); pull everything from the sequence
+            # header instead
             parser = Av1Parser()
+            found = False
             for pkt in vf.packets():
                 if pkt.is_video:
                     for obu in parser.parse_packet(
                         pkt.data, pkt.av1_ts, pkt.obu_extents
                     ):
                         if obu.seq is not None:
-                            width = obu.seq.max_frame_width
-                            height = obu.seq.max_frame_height
+                            if not width or not height:
+                                width = obu.seq.max_frame_width
+                                height = obu.seq.max_frame_height
+                            cc = obu.seq.color_config
+                            if cc.transfer_characteristics == 16:
+                                transfer = "smpte2084"
+                            full_range = cc.color_range_full
+                            found = True
                             break
-                if width:
+                if found:
                     break
-    seg = photon_noise_segment(iso, width, height, transfer, chroma)
+    seg = photon_noise_segment(iso, width, height, transfer, chroma, full_range)
     n = _rewrite(input_path, output_path, [seg], progress)
     log.info("Done, wrote output file to %s", output_path)
     return n
