@@ -83,8 +83,8 @@ def load_native() -> C.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH):
-        _build_native()
+    # make is a no-op when the .so is newer than the source
+    _build_native()
     lib = C.CDLL(_SO_PATH)
 
     lib.grav_demux_open.restype = C.c_void_p
@@ -139,6 +139,8 @@ def load_native() -> C.CDLL:
         C.c_int,
         C.c_int,
         C.c_char_p,
+        C.c_int,
+        C.c_int,
         C.c_char_p,
         C.c_int,
     ]
@@ -404,6 +406,8 @@ class Encoder:
         monochrome: bool = False,
         fps: Tuple[int, int] = (30, 1),
         extra_opts: str = "",
+        sub_x: int = 1,
+        sub_y: int = 1,
     ):
         self._lib = load_native()
         err = _errbuf()
@@ -415,6 +419,8 @@ class Encoder:
             fps[0],
             fps[1],
             extra_opts.encode(),
+            sub_x,
+            sub_y,
             err,
             _ERRBUF_LEN,
         )
@@ -422,6 +428,7 @@ class Encoder:
             raise IOError(f"encoder open failed: {err.value.decode()}")
         self.width, self.height, self.bit_depth = width, height, bit_depth
         self.monochrome = monochrome
+        self.sub_x, self.sub_y = sub_x, sub_y
 
     def _plane_ptr(self, arr: Optional[np.ndarray]):
         if arr is None:

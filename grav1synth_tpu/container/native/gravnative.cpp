@@ -368,9 +368,12 @@ typedef struct GravEncoder {
     AVPacket* pkt = nullptr;
 } GravEncoder;
 
+// sub_x/sub_y: chroma subsampling (1,1)=4:2:0, (1,0)=4:2:2, (0,0)=4:4:4
+// (AV1 seq profiles 0/2/1 respectively).
 GravEncoder* grav_encoder_open(int width, int height, int bit_depth,
                                int monochrome, int fps_num, int fps_den,
-                               const char* extra_opts, char* err, int errlen) {
+                               const char* extra_opts, int sub_x, int sub_y,
+                               char* err, int errlen) {
     const AVCodec* codec = avcodec_find_encoder_by_name("libaom-av1");
     if (!codec) {
         set_err(err, errlen, "libaom-av1 encoder not found");
@@ -383,13 +386,25 @@ GravEncoder* grav_encoder_open(int width, int height, int bit_depth,
     e->ctx->time_base = {fps_den, fps_num};
     e->ctx->framerate = {fps_num, fps_den};
     if (monochrome) {
-        e->ctx->pix_fmt = bit_depth == 8 ? AV_PIX_FMT_GRAY8 : AV_PIX_FMT_GRAY10;
-    } else if (bit_depth == 8) {
-        e->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
-    } else if (bit_depth == 10) {
-        e->ctx->pix_fmt = AV_PIX_FMT_YUV420P10;
+        e->ctx->pix_fmt = bit_depth == 8    ? AV_PIX_FMT_GRAY8
+                          : bit_depth == 10 ? AV_PIX_FMT_GRAY10
+                                            : AV_PIX_FMT_GRAY12;
     } else {
-        e->ctx->pix_fmt = AV_PIX_FMT_YUV420P12;
+        static const AVPixelFormat fmts[3][3] = {
+            // [subsampling][depth index 8/10/12]
+            {AV_PIX_FMT_YUV420P, AV_PIX_FMT_YUV420P10, AV_PIX_FMT_YUV420P12},
+            {AV_PIX_FMT_YUV422P, AV_PIX_FMT_YUV422P10, AV_PIX_FMT_YUV422P12},
+            {AV_PIX_FMT_YUV444P, AV_PIX_FMT_YUV444P10, AV_PIX_FMT_YUV444P12},
+        };
+        int ss = (sub_x && sub_y) ? 0 : (sub_x ? 1 : 2);
+        if (!sub_x && sub_y) {
+            set_err(err, errlen, "4:4:0 is not an AV1 subsampling");
+            avcodec_free_context(&e->ctx);
+            delete e;
+            return nullptr;
+        }
+        int di = bit_depth == 8 ? 0 : bit_depth == 10 ? 1 : 2;
+        e->ctx->pix_fmt = fmts[ss][di];
     }
     e->ctx->gop_size = 9999;
     AVDictionary* opts = nullptr;

@@ -339,12 +339,14 @@ def build_frame_ext(
     w.put(1, 1)  # disable_cdf_update
     if frame_id_numbers:
         w.put(123, 10)  # current_frame_id (id_len = 10)
-    w.put(1 if frame_size_override else 0, 1)
+    if frame_type != FrameType.SWITCH:  # SWITCH: override implied 1
+        w.put(1 if frame_size_override else 0, 1)
     if enable_order_hint:
         w.put(order_hint, order_hint_bits)
-    if not frame_type.is_intra:
+    # SWITCH implies error_resilient -> primary_ref not coded
+    if not frame_type.is_intra and frame_type != FrameType.SWITCH:
         w.put(0, 3)  # primary_ref_frame
-    if frame_type != FrameType.KEY:
+    if frame_type not in (FrameType.KEY, FrameType.SWITCH):
         w.put(1, 8)  # refresh_frame_flags
     if frame_type.is_intra:
         if frame_size_override:
@@ -366,9 +368,18 @@ def build_frame_ext(
             w.put(0, 3)  # ref_frame_idx
             if frame_id_numbers:
                 w.put(1, 7)  # delta_frame_id_minus_1
-        if frame_size_override:
+        if frame_type == FrameType.SWITCH:
+            # override implied + error_resilient -> explicit frame_size
+            # (not frame_size_with_refs), spec 5.9.5
+            w.put(cfg.width - 1, 16)
+            w.put(cfg.height - 1, 16)
+            if enable_superres:
+                w.put(1 if use_superres else 0, 1)
+                if use_superres:
+                    w.put(coded_denom, 3)
+        elif frame_size_override:
             raise NotImplementedError("inter size override not built")
-        if enable_superres:
+        elif enable_superres:
             w.put(0, 1)
         w.put(0, 1)  # render_and_frame_size_different
         w.put(0, 1)  # allow_high_precision_mv

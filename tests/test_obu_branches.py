@@ -153,6 +153,55 @@ def test_loop_filter_deltas():
     _check_grain_roundtrip(data)
 
 
+def test_switch_frame():
+    """SWITCH frames (spec 5.9.2): error_resilient / size-override /
+    refresh_frame_flags all implied (no bits), explicit frame_size in
+    the inter path, update_grain NOT coded (INTER only). The splice
+    must land byte-exactly after the implied-field walk."""
+    data = build_temporal_delimiter()
+    data += build_sequence_header_ext(CFG)
+    data += build_frame_ext(CFG, frame_type=FrameType.KEY, grain=GRAIN)
+    data += build_temporal_delimiter()
+    data += build_frame_ext(CFG, frame_type=FrameType.SWITCH, grain=GRAIN)
+    parser, obus = _parse(data)
+    frames = _frame_obus(obus)
+    assert len(frames) == 2
+    assert frames[1].frame.frame_type == FrameType.SWITCH
+    for f in frames:
+        assert f.frame.grain.action == GrainAction.UPDATE
+        assert f.frame.grain.params.scaling_points_y == GRAIN.scaling_points_y
+    # remove round-trip across the switch frame
+    parser2 = Av1Parser()
+    rw = GrainRewriter(None)
+    parsed = parser2.parse_packet(data, 0)
+    removed = rw.rewrite_packet(data, parsed, 0, parser2.sequence_header)
+    for o in Av1Parser().parse_packet(removed, 0):
+        if o.frame is not None:
+            assert o.frame.grain.action == GrainAction.DISABLE
+
+
+def test_switch_frame_superres():
+    data = build_temporal_delimiter()
+    data += build_sequence_header_ext(CFG, enable_superres=True)
+    data += build_frame_ext(
+        CFG, frame_type=FrameType.KEY, grain=GRAIN, enable_superres=True
+    )
+    data += build_temporal_delimiter()
+    data += build_frame_ext(
+        CFG,
+        frame_type=FrameType.SWITCH,
+        grain=GRAIN,
+        enable_superres=True,
+        use_superres=True,
+        coded_denom=5,
+    )
+    parser, obus = _parse(data)
+    frames = _frame_obus(obus)
+    assert len(frames) == 2
+    assert frames[1].frame.frame_type == FrameType.SWITCH
+    assert frames[1].frame.grain.action == GrainAction.UPDATE
+
+
 def test_everything_at_once():
     data = _stream(
         dict(enable_superres=True, frame_id_numbers=True, enable_order_hint=True),
