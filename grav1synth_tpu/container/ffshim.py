@@ -598,3 +598,43 @@ def generate_patterns_native(
     if ret != 0:
         raise RuntimeError(f"grain pattern generation failed ({ret})")
     return luma, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# FFmpeg trace_headers oracle (tests): libavcodec's own AV1 field tracer
+
+
+def trace_headers_ffmpeg(packets) -> list:
+    """Run libavcodec's ``trace_headers`` BSF over a sequence of
+    low-overhead temporal units (ONE filter instance, so sequence-header
+    state persists) and return the per-packet captured log texts — the
+    external oracle our tracer output is diffed against (the reference's
+    trace subsystem mimics exactly this filter, trace.rs docstring)."""
+    if isinstance(packets, (bytes, bytearray)):
+        packets = [bytes(packets)]
+    lib = load_native()
+    if not hasattr(lib.grav_trace_headers, "_configured"):
+        lib.grav_trace_headers.restype = C.c_int64
+        lib.grav_trace_headers.argtypes = [
+            C.POINTER(C.c_uint8),
+            C.POINTER(C.c_int64),
+            C.c_int64,
+            C.c_char_p,
+            C.c_int64,
+            C.c_char_p,
+            C.c_int,
+        ]
+        lib.grav_trace_headers._configured = True
+    blob = b"".join(packets)
+    sizes = (C.c_int64 * len(packets))(*[len(p) for p in packets])
+    out = C.create_string_buffer(1 << 24)
+    err = _errbuf()
+    buf = (C.c_uint8 * len(blob)).from_buffer_copy(blob)
+    n = lib.grav_trace_headers(
+        buf, sizes, len(packets), out, len(out), err, _ERRBUF_LEN
+    )
+    if n < 0:
+        raise RuntimeError(f"trace_headers failed: {err.value.decode()}")
+    text = out.value.decode(errors="replace")
+    parts = text.split("\x1f")
+    return parts[: len(packets)]

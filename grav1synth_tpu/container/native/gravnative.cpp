@@ -16,6 +16,7 @@
 
 extern "C" {
 #include <libavcodec/avcodec.h>
+#include <libavcodec/bsf.h>
 #include <libavformat/avformat.h>
 #include <libavutil/dict.h>
 #include <libavutil/imgutils.h>
@@ -644,6 +645,88 @@ int grav_generate_grain_patterns(const GravGrainParams* params, int n,
                              p.num_y_points);
     }
     return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// libavcodec trace_headers BSF capture: the external field-trace oracle.
+// Runs FFmpeg's own AV1 syntax tracer over packets and returns its log
+// text, so the Python tracer can be diffed field-for-field against the
+// implementation the reference mimics (trace.rs docstring).
+
+#include <cstdarg>
+
+static std::string* g_trace_buf = nullptr;
+
+static void trace_log_cb(void*, int level, const char* fmt, va_list args) {
+    if (!g_trace_buf || level > AV_LOG_INFO) return;
+    char line[4096];
+    vsnprintf(line, sizeof(line), fmt, args);
+    g_trace_buf->append(line);
+}
+
+extern "C" {
+
+// Feeds `count` concatenated low-overhead temporal units (byte lengths
+// in `sizes`) through ONE trace_headers BSF instance — parser state
+// (sequence header) persists across packets, as in a real stream.
+// Writes a US (0x1f) separator into `out` between packets so the
+// caller can split per-packet traces. Returns captured length or <0.
+int64_t grav_trace_headers(const uint8_t* data, const int64_t* sizes,
+                           int64_t count, char* out, int64_t outlen,
+                           char* err, int errlen) {
+    const AVBitStreamFilter* f = av_bsf_get_by_name("trace_headers");
+    if (!f) {
+        set_err(err, errlen, "trace_headers bsf not found");
+        return -1;
+    }
+    AVBSFContext* bsf = nullptr;
+    int ret = av_bsf_alloc(f, &bsf);
+    if (ret < 0) {
+        set_averr(err, errlen, "av_bsf_alloc", ret);
+        return -1;
+    }
+    bsf->par_in->codec_id = AV_CODEC_ID_AV1;
+    ret = av_bsf_init(bsf);
+    if (ret < 0) {
+        set_averr(err, errlen, "av_bsf_init", ret);
+        av_bsf_free(&bsf);
+        return -1;
+    }
+    AVPacket* pkt = av_packet_alloc();
+
+    std::string buf;
+    g_trace_buf = &buf;
+    int old_level = av_log_get_level();
+    av_log_set_level(AV_LOG_INFO);
+    av_log_set_callback(trace_log_cb);
+    const uint8_t* cur = data;
+    for (int64_t i = 0; i < count && ret >= 0; i++) {
+        av_new_packet(pkt, (int)sizes[i]);
+        std::memcpy(pkt->data, cur, (size_t)sizes[i]);
+        cur += sizes[i];
+        ret = av_bsf_send_packet(bsf, pkt);
+        if (ret >= 0) {
+            while (av_bsf_receive_packet(bsf, pkt) >= 0) av_packet_unref(pkt);
+        }
+        buf.push_back('\x1f');
+    }
+    av_log_set_callback(av_log_default_callback);
+    av_log_set_level(old_level);
+    g_trace_buf = nullptr;
+
+    av_packet_free(&pkt);
+    av_bsf_free(&bsf);
+    if (ret < 0) {
+        set_averr(err, errlen, "av_bsf_send_packet", ret);
+        return -1;
+    }
+    int64_t n = (int64_t)buf.size();
+    if (n >= outlen) n = outlen - 1;
+    std::memcpy(out, buf.data(), (size_t)n);
+    out[n] = '\0';
+    return n;
 }
 
 }  // extern "C"

@@ -77,7 +77,16 @@ class Av1Parser:
         self.seen_frame_header = False
         self.refs = RefSlots()
         self.last_tile_info: Optional[TileInfo] = None
-        self.trace = None  # optional TraceFn forwarded to BitReaders
+        # field hook (name, obu_relative_bit_pos, nbits, value) and
+        # section hook (name); auto-wired to the trace_headers logger
+        # when it is enabled, matching the reference's always-on-under-
+        # RUST_LOG behavior (trace.rs:41 log_enabled guard)
+        self.trace = None
+        self.trace_section = None
+        from ..utils.trace import install_tracer, tracing_enabled
+
+        if tracing_enabled():
+            install_tracer(self)
 
     def parse_packet(
         self,
@@ -110,7 +119,16 @@ class Av1Parser:
         self, data: bytes, start: int, packet_ts: int, end: Optional[int] = None
     ) -> ParsedObu:
         r = BitReader(data, start_bit=start * 8)
-        r.trace = self.trace
+        if self.trace is not None:
+            # bit positions are OBU-anchored (reference TraceCtx
+            # base_offset, trace.rs:12-30 / obu.rs:115)
+            base = start * 8
+            hook = self.trace
+            r.trace = lambda name, pos, nbits, value: hook(
+                name, pos - base, nbits, value
+            )
+        if self.trace_section is not None:
+            self.trace_section("OBU header")
         r.zero_bit("obu_forbidden_bit")
         obu_type = ObuType(r.f(4, "obu_type"))
         extension_flag = r.bool_("obu_extension_flag")
@@ -162,6 +180,16 @@ class Av1Parser:
                 if not (in_t and in_s):
                     return p  # dropped layer: passthrough
 
+        if self.trace_section is not None:
+            section = {
+                ObuType.SEQUENCE_HEADER: "Sequence Header",
+                ObuType.TEMPORAL_DELIMITER: "Temporal Delimiter",
+                ObuType.FRAME: "Frame",
+                ObuType.FRAME_HEADER: "Frame Header",
+                ObuType.TILE_GROUP: "Tile Group",
+            }.get(obu_type)
+            if section is not None:
+                self.trace_section(section)
         if obu_type == ObuType.SEQUENCE_HEADER:
             seq = parse_sequence_header(r, payload_start * 8)
             p.seq = seq

@@ -190,6 +190,8 @@ def inspect(
 
     Returns the segments, or None when the stream carries no grain
     headers at all (reference main.rs:178-184 'no grain' case)."""
+    from .utils.trace import trace_packet, tracing_enabled
+
     with VideoFile(input_path) as vf:
         parser = Av1Parser()
         headers = []
@@ -197,6 +199,8 @@ def inspect(
         for pkt in vf.packets():
             if not pkt.is_video:
                 continue
+            if tracing_enabled():
+                trace_packet(len(pkt.data), pkt.pts, pkt.dts)
             for obu in parser.parse_packet(pkt.data, pkt.av1_ts, pkt.obu_extents):
                 if obu.frame is not None and obu.frame.show_frame:
                     headers.append(obu.frame.grain)
@@ -226,7 +230,7 @@ def _rewrite(
     parser and asserts the grain state round-trips (the reference's
     write-mode debug re-parse, parser.rs:364-409); defaults on when
     GRAV1_VERIFY=1 or field tracing is enabled."""
-    from .utils.trace import tracing_enabled
+    from .utils.trace import trace_packet, trace_reparse, tracing_enabled
 
     if verify is None:
         verify = bool(os.environ.get("GRAV1_VERIFY")) or tracing_enabled()
@@ -235,6 +239,10 @@ def _rewrite(
     def _check(new_data: bytes, ts: int, extents=None) -> None:
         if check_parser is None:
             return
+        if tracing_enabled():
+            # reference parser.rs:368-373: rewritten packets re-parse
+            # under the tracer as a self-check
+            trace_reparse(len(new_data), ts, ts)
         for obu in check_parser.parse_packet(new_data, ts, extents):
             if obu.seq is not None:
                 want = segments is not None
@@ -260,6 +268,8 @@ def _rewrite(
             # untouched OBUs round-trip byte-identically
             with open(output_path, "wb") as out_fh:
                 for pkt in vf.packets():
+                    if tracing_enabled():
+                        trace_packet(len(pkt.data), pkt.pts, pkt.dts)
                     parsed = parser.parse_packet(
                         pkt.data, pkt.av1_ts, pkt.obu_extents
                     )
@@ -291,6 +301,8 @@ def _rewrite(
             else:
                 writer = ivf.IvfWriter.create(output_path, vf._header)
             for i, pkt in enumerate(vf.packets()):
+                if tracing_enabled():
+                    trace_packet(len(pkt.data), pkt.pts, pkt.dts)
                 parsed = parser.parse_packet(pkt.data, pkt.av1_ts)
                 new_data = rewriter.rewrite_packet(
                     pkt.data, parsed, pkt.av1_ts, parser.sequence_header
@@ -314,6 +326,8 @@ def _rewrite(
                 if not pkt.is_video:
                     mux.write(raw)
                     continue
+                if tracing_enabled():
+                    trace_packet(len(pkt.data), pkt.pts, pkt.dts)
                 parsed = parser.parse_packet(pkt.data, pkt.av1_ts)
                 new_data = rewriter.rewrite_packet(
                     pkt.data, parsed, pkt.av1_ts, parser.sequence_header
