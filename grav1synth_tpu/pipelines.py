@@ -189,7 +189,16 @@ def inspect(
     """Extract per-frame grain parameters into a filmgrn1 table.
 
     Returns the segments, or None when the stream carries no grain
-    headers at all (reference main.rs:178-184 'no grain' case)."""
+    headers at all (reference main.rs:178-184 'no grain' case).
+
+    Documented divergence (display-order grid): only SHOWN frames
+    advance the table's time grid. The reference accumulates every
+    parsed frame header including hidden alt-refs (parser.rs:156), so
+    on alt-ref streams its segment timestamps drift ahead of display
+    time by one grid step per hidden frame; ours stay aligned with the
+    presentation timeline that ``apply`` selects against (packet pts).
+    tests/test_pipelines.py::test_inspect_altref_display_order_grid
+    pins this behavior."""
     from .utils.trace import trace_packet, tracing_enabled
 
     with VideoFile(input_path) as vf:
@@ -206,7 +215,10 @@ def inspect(
                     headers.append(obu.frame.grain)
                     bar.step()
         bar.done()
-        if not any(h.action != GrainAction.DISABLE for h in headers):
+        # grain exists only if some frame UPDATEs params: show_existing
+        # frames always parse as COPY_REF, which alone synthesizes
+        # nothing (reference main.rs:177-183 checks UpdateGrain)
+        if not any(h.action == GrainAction.UPDATE for h in headers):
             log.info("No film grain headers found in input file")
             return None
         fps_num, fps_den = vf.fps

@@ -81,6 +81,81 @@ class TestInspect:
         assert reread[0].params.equal_ignoring_seed(got)
 
 
+def test_inspect_altref_display_order_grid(tmp_path):
+    """Hidden alt-ref frames must NOT advance the inspect time grid
+    (documented divergence from the reference, which accumulates every
+    parsed frame header incl. hidden ones, parser.rs:156): on an
+    alt-ref stream the table must span exactly shown_frames/fps and the
+    two-segment boundary must sit at a display-time grid point."""
+    from grav1synth_tpu.obu import Av1Parser
+
+    rng = np.random.default_rng(23)
+    n = 24
+    fps = 24
+    frames = []
+    for i in range(n):
+        y = (
+            np.linspace(0, 200, 96)[None, :]
+            + rng.normal(0, 12, (96, 96))
+            + i * 4
+        ).clip(0, 255).astype(np.uint8)
+        u = rng.integers(100, 150, (48, 48)).astype(np.uint8)
+        frames.append((y, u, u.copy()))
+    enc = Encoder(
+        96, 96, 8,
+        extra_opts="lag-in-frames=16:auto-alt-ref=1:usage=good:cpu-used=4:crf=30",
+    )
+    pkts = enc.encode_frames(frames)
+    enc.close()
+    path = tmp_path / "alt.ivf"
+    write_ivf(
+        str(path),
+        IvfHeader(width=96, height=96, timebase_den=fps, timebase_num=1),
+        [IvfPacket(p.pts, p.data) for p in pkts],
+    )
+    # confirm the stream actually contains hidden frames
+    parser = Av1Parser()
+    total_headers = 0
+    shown = 0
+    from grav1synth_tpu.container.ivf import read_ivf
+
+    _, rpkts = read_ivf(str(path))
+    for p in rpkts:
+        for o in parser.parse_packet(p.data, 0):
+            if o.frame is not None:
+                total_headers += 1
+                shown += int(o.frame.show_frame or o.frame.show_existing_frame)
+    assert shown == n
+    assert total_headers > n, "encoder produced no hidden alt-ref frames"
+
+    # two segments split mid-stream by display time
+    tick = 10_000_000
+    mid = -(-12 * tick // fps)
+    p2 = sample_grain_params(seed=901)
+    p2.scaling_points_y = [(0, 60), (128, 90), (255, 40)]  # distinct model:
+    # aggregation ignores seeds (grain.rs:83-106), so the segments must
+    # differ in substance to stay separate
+    segs = [
+        GrainTableSegment(0, mid, sample_grain_params(seed=5)),
+        GrainTableSegment(mid, 10**14, p2),
+    ]
+    tbl = tmp_path / "two.tbl"
+    dump_table(segs, str(tbl))
+    grainy = tmp_path / "grainy.ivf"
+    pipelines.apply_table(str(path), str(grainy), str(tbl), progress=False)
+    got = pipelines.inspect(str(grainy), str(tmp_path / "o.tbl"), progress=False)
+    assert got is not None and len(got) == 2
+    # the grid counts SHOWN frames only: boundary at frame 8, end at
+    # frame 16 in display time (ceil of the float grid like aggregate)
+    assert got[0].start_time == 0
+    boundary = got[0].end_time
+    assert boundary == got[1].start_time
+    import math
+
+    assert boundary == math.ceil(12 * tick / fps)
+    assert got[1].end_time == math.ceil(n * tick / fps)
+
+
 class TestApplyRemove:
     def test_apply_lossless_and_decodable(self, real_ivf, grain_table, tmp_path):
         grainy = tmp_path / "grainy.ivf"
