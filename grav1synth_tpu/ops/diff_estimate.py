@@ -390,6 +390,95 @@ def _frame_sigma(stats) -> float:
     return float(np.sqrt(max(ss / cnt - mean * mean, 0.0)))
 
 
+@functools.partial(jax.jit, static_argnames=("lag", "bit_depth"))
+def batch_pair_stats(src, den, lag: int, bit_depth: int):
+    """(B, H, W) luma frame batches -> per-plane statistics summed over
+    the batch (the sums are associative, so shards combine exactly)."""
+    per = jax.vmap(lambda s, d: frame_pair_stats(s, d, lag, bit_depth))(src, den)
+    return {k: jnp.sum(v, axis=0) for k, v in per.items()}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lag", "bit_depth", "sub_x", "sub_y")
+)
+def batch_pair_stats_chroma(
+    src_c, den_c, src_y, den_y, lag: int, bit_depth: int, sub_x: int, sub_y: int
+):
+    r_luma = (src_y - den_y).astype(jnp.float32)
+    per = jax.vmap(
+        lambda sc, dc, rl: frame_pair_stats_chroma(
+            sc, dc, rl, lag, bit_depth, sub_x, sub_y
+        )
+    )(src_c, den_c, r_luma)
+    return {k: jnp.sum(v, axis=0) for k, v in per.items()}
+
+
+def sharded_diff_stats(
+    mesh,
+    src_planes,  # [y, cb, cr] or [y]; each (B, h, w) int32, B % mesh == 0
+    den_planes,
+    lag: int,
+    bit_depth: int,
+):
+    """Frame-data-parallel diff reduction over a device mesh: each
+    device reduces its frame shard, then the sums psum over the mesh
+    axis (ICI/DCN collectives) — the distributed mapping SURVEY §5
+    prescribes for diff statistics. Returns (y_stats, cb_stats|None,
+    cr_stats|None) as replicated host arrays, exactly equal to the
+    serial per-frame sums."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    has_chroma = len(src_planes) >= 3
+    shard = P(axis)
+
+    def psum_dict(d):
+        return {k: jax.lax.psum(v, axis) for k, v in d.items()}
+
+    if has_chroma:
+
+        def step(sy, dy, sc, dc, sr, dr):
+            y = psum_dict(batch_pair_stats(sy, dy, lag, bit_depth))
+            hc, wc = sc.shape[1:]
+            sub_y_ = 1 if hc < sy.shape[1] else 0
+            sub_x_ = 1 if wc < sy.shape[2] else 0
+            cb = psum_dict(
+                batch_pair_stats_chroma(sc, dc, sy, dy, lag, bit_depth, sub_x_, sub_y_)
+            )
+            cr = psum_dict(
+                batch_pair_stats_chroma(sr, dr, sy, dy, lag, bit_depth, sub_x_, sub_y_)
+            )
+            return y, cb, cr
+
+        args = [
+            jnp.asarray(p, jnp.int32)
+            for pair in zip(src_planes, den_planes)
+            for p in pair
+        ]
+        in_specs = (shard,) * 6
+        out_specs = (P(), P(), P())
+    else:
+
+        def step(sy, dy):
+            return (psum_dict(batch_pair_stats(sy, dy, lag, bit_depth)),)
+
+        args = [
+            jnp.asarray(src_planes[0], jnp.int32),
+            jnp.asarray(den_planes[0], jnp.int32),
+        ]
+        in_specs = (shard, shard)
+        out_specs = (P(),)
+    mapped = jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    with mesh:
+        out = jax.jit(mapped)(*args)
+    if has_chroma:
+        return out
+    return out[0], None, None
+
+
 class DiffEstimator:
     """Streaming source/denoised comparator producing a grain table.
 
@@ -480,6 +569,23 @@ class DiffEstimator:
                 )
         self._chunk.frames += 1
         self._frame_idx += 1
+        if self._frame_idx - self._chunk_start >= self.chunk_frames:
+            self._flush_chunk()
+
+    def add_stats(
+        self, y_stats, cb_stats=None, cr_stats=None, frames: int = 1
+    ) -> None:
+        """Ingest pre-reduced statistics covering ``frames`` frame pairs
+        (e.g. from sharded_diff_stats): the batch joins the current
+        chunk as one block — per-frame scene-cut detection happens on
+        the producing side (or not at all for single-model fits)."""
+        self._chunk.y.add(y_stats)
+        if cb_stats is not None:
+            self._chunk.cb.add(cb_stats)
+        if cr_stats is not None:
+            self._chunk.cr.add(cr_stats)
+        self._chunk.frames += frames
+        self._frame_idx += frames
         if self._frame_idx - self._chunk_start >= self.chunk_frames:
             self._flush_chunk()
 
