@@ -22,10 +22,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 import numpy as np
 
-# B=32 amortizes the per-launch dispatch overhead; the flat packed
-# offset encoding keeps its scalar-prefetch footprint in SMEM (B=64
-# exceeds the 16 MB scoped-vmem stack for the 3-plane rolled buffers)
-B = int(os.environ.get("GRAV1_BENCH_BATCH", "32"))
+# B=64 halves the per-dispatch overhead vs 32; it runs the split
+# luma/chroma-pair kernels (the 3-plane fused kernel's per-step VMEM
+# exceeds the ~16 MB budget past B~48, grain_jax.SPLIT_BATCH)
+B = int(os.environ.get("GRAV1_BENCH_BATCH", "64"))
 N_ITERS = int(os.environ.get("GRAV1_BENCH_ITERS", "6"))
 H, W, BIT_DEPTH = 2160, 3840, 10
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
@@ -44,7 +44,7 @@ def _params(batch):
     return out
 
 
-def measure_tpu_fps() -> float:
+def measure_tpu_fps(params=None) -> float:
     import jax
 
     # persistent XLA compile cache: first-ever bench run pays the
@@ -58,7 +58,8 @@ def measure_tpu_fps() -> float:
 
     backend = os.environ.get("GRAV1_BENCH_BACKEND", "pallas")
     patterns = os.environ.get("GRAV1_BENCH_PATTERNS", "host")
-    params = _params(B)
+    if params is None:
+        params = _params(B)
     pb = grain_jax.pack_params(params)
     host_params = params if patterns == "host" else None
     rng = np.random.default_rng(0)
@@ -170,6 +171,61 @@ def measure_dav1d_baseline_fps() -> float:
     return 1.0 / grain_cost
 
 
+def _photon_params(batch):
+    """The generate path's device work: a luma-only 14-point photon
+    table (the pipeline default; --chroma adds the chroma planes)."""
+    import copy
+
+    from grav1synth_tpu.ops.photon_noise import generate_photon_noise_params
+
+    base = generate_photon_noise_params(1600, W, H, "bt1886")
+    out = []
+    for i in range(batch):
+        p = copy.deepcopy(base)
+        p.grain_seed = (7391 + i * 10063) & 0xFFFF
+        out.append(p)
+    return out
+
+
+def measure_host_rewrite_fps() -> float:
+    """Host-side parse + grain-splice throughput at 1080p — the
+    reference's actual hot loop (its grain synthesis is the decoder's
+    job). Stream cached; measurement is ~1 s of pure parser work."""
+    import pickle
+
+    from grav1synth_tpu.container.ffshim import Encoder
+    from grav1synth_tpu.obu import Av1Parser, GrainRewriter, GrainTableSegment
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, "bench_1080p_pkts.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as fh:
+            datas = pickle.load(fh)
+    else:
+        rng = np.random.default_rng(0)
+        y0 = rng.integers(0, 255, (1080, 1920)).astype(np.uint8)
+        u0 = rng.integers(0, 255, (540, 960)).astype(np.uint8)
+        frames = [(np.roll(y0, i, axis=1), u0, u0) for i in range(120)]
+        enc = Encoder(1920, 1080, 8, extra_opts="cpu-used=8")
+        pkts = enc.encode_frames(frames)
+        enc.close()
+        datas = [(p.data, p.pts) for p in pkts]
+        with open(path, "wb") as fh:
+            pickle.dump(datas, fh)
+    seg = GrainTableSegment(0, 10**14, _params(1)[0])
+    best = 0.0
+    for _ in range(3):
+        parser = Av1Parser()
+        rw = GrainRewriter([seg])
+        t0 = time.time()
+        for data, pts in datas:
+            ts = -(-pts * 10_000_000 // 30)
+            parsed = parser.parse_packet(data, ts)
+            rw.rewrite_packet(data, parsed, ts, parser.sequence_header)
+        best = max(best, len(datas) / (time.time() - t0))
+    return best
+
+
 def main() -> None:
     result = {
         "metric": "4K10 grain apply throughput",
@@ -180,6 +236,16 @@ def main() -> None:
     try:
         fps = measure_tpu_fps()
         result["value"] = round(fps, 2)
+        try:
+            result["generate_apply_fps"] = round(
+                measure_tpu_fps(_photon_params(B)), 2
+            )
+        except Exception as e:
+            result["generate_error"] = str(e)[:200]
+        try:
+            result["host_rewrite_fps_1080p"] = round(measure_host_rewrite_fps(), 1)
+        except Exception as e:
+            result["host_rewrite_error"] = str(e)[:200]
         try:
             # the dav1d baseline is a host-side constant: measure once,
             # cache the number (delete .bench_cache to re-measure)

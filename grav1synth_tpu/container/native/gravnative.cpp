@@ -9,10 +9,13 @@
 //
 // Exposed as a flat C API loaded from Python via ctypes.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
+#include <vector>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -605,6 +608,33 @@ void grav_set_gaussian_table(const int16_t* table) {
     g_gaussian = copy;
 }
 
+static void grain_one_frame(const GravGrainParams& p, int bit_depth,
+                            int subx, int suby, int monochrome,
+                            int shift_base, int gmin, int gmax, int cw,
+                            int ch, int32_t* luma, int32_t* cb,
+                            int32_t* cr) {
+    const int shift = shift_base + p.grain_scale_shift;
+    generate_plane(Lfsr((uint16_t)p.seed), 73, 82, shift,
+                   p.num_y_points > 0, luma);
+    ar_filter_luma(luma, p.ar_coeff_lag, p.ar_coeffs_y, p.ar_coeff_shift,
+                   gmin, gmax);
+    if (monochrome || !cb) return;
+    bool cb_active = p.num_cb_points > 0 || p.chroma_scaling_from_luma;
+    bool cr_active = p.num_cr_points > 0 || p.chroma_scaling_from_luma;
+    generate_plane(Lfsr((uint16_t)(p.seed ^ 0xb524)), ch, cw, shift,
+                   cb_active, cb);
+    generate_plane(Lfsr((uint16_t)(p.seed ^ 0x49d8)), ch, cw, shift,
+                   cr_active, cr);
+    if (cb_active)
+        ar_filter_chroma(cb, luma, cw, ch, p.ar_coeff_lag, p.ar_coeffs_cb,
+                         p.ar_coeff_shift, gmin, gmax, subx, suby,
+                         p.num_y_points);
+    if (cr_active)
+        ar_filter_chroma(cr, luma, cw, ch, p.ar_coeff_lag, p.ar_coeffs_cr,
+                         p.ar_coeff_shift, gmin, gmax, subx, suby,
+                         p.num_y_points);
+}
+
 // Generates patterns for a batch of frames. Outputs int32, row-major:
 // luma (n, 73, 82); cb/cr (n, ch, cw) where cw/ch follow subsampling
 // (44/82, 38/73). cb/cr may be null when monochrome.
@@ -618,32 +648,36 @@ int grav_generate_grain_patterns(const GravGrainParams* params, int n,
     const int gmin = -grain_center, gmax = grain_center - 1;
     const int cw = subx ? 44 : 82;
     const int ch = suby ? 38 : 73;
-    for (int i = 0; i < n; i++) {
-        const GravGrainParams& p = params[i];
-        const int shift = shift_base + p.grain_scale_shift;
-        int32_t* luma = luma_out + (int64_t)i * 73 * 82;
-        generate_plane(Lfsr((uint16_t)p.seed), 73, 82, shift,
-                       p.num_y_points > 0, luma);
-        ar_filter_luma(luma, p.ar_coeff_lag, p.ar_coeffs_y, p.ar_coeff_shift,
-                       gmin, gmax);
-        if (monochrome || !cb_out) continue;
-        int32_t* cb = cb_out + (int64_t)i * ch * cw;
-        int32_t* cr = cr_out + (int64_t)i * ch * cw;
-        bool cb_active = p.num_cb_points > 0 || p.chroma_scaling_from_luma;
-        bool cr_active = p.num_cr_points > 0 || p.chroma_scaling_from_luma;
-        generate_plane(Lfsr((uint16_t)(p.seed ^ 0xb524)), ch, cw, shift,
-                       cb_active, cb);
-        generate_plane(Lfsr((uint16_t)(p.seed ^ 0x49d8)), ch, cw, shift,
-                       cr_active, cr);
-        if (cb_active)
-            ar_filter_chroma(cb, luma, cw, ch, p.ar_coeff_lag, p.ar_coeffs_cb,
-                             p.ar_coeff_shift, gmin, gmax, subx, suby,
-                             p.num_y_points);
-        if (cr_active)
-            ar_filter_chroma(cr, luma, cw, ch, p.ar_coeff_lag, p.ar_coeffs_cr,
-                             p.ar_coeff_shift, gmin, gmax, subx, suby,
-                             p.num_y_points);
+    // frames are independent: split the batch across threads (the AR
+    // recurrence is serial within a frame, ~0.2 ms each; a 32-64 frame
+    // batch would otherwise serialize ahead of the device launch)
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads > n) n_threads = n;
+    if (n_threads > 16) n_threads = 16;
+    if (n_threads > 1) {
+        std::vector<std::thread> workers;
+        std::atomic<int> next(0);
+        auto run = [&]() {
+            for (;;) {
+                int i = next.fetch_add(1);
+                if (i >= n) return;
+                grain_one_frame(params[i], bit_depth, subx, suby, monochrome,
+                                shift_base, gmin, gmax, cw, ch,
+                                luma_out + (int64_t)i * 73 * 82,
+                                cb_out ? cb_out + (int64_t)i * ch * cw : nullptr,
+                                cr_out ? cr_out + (int64_t)i * ch * cw : nullptr);
+            }
+        };
+        for (int t = 0; t < n_threads; t++) workers.emplace_back(run);
+        for (auto& w : workers) w.join();
+        return 0;
     }
+    for (int i = 0; i < n; i++)
+        grain_one_frame(params[i], bit_depth, subx, suby, monochrome,
+                        shift_base, gmin, gmax, cw, ch,
+                        luma_out + (int64_t)i * 73 * 82,
+                        cb_out ? cb_out + (int64_t)i * ch * cw : nullptr,
+                        cr_out ? cr_out + (int64_t)i * ch * cw : nullptr);
     return 0;
 }
 

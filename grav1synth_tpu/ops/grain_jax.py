@@ -676,16 +676,30 @@ def apply_grain(
     loop specialize to the batch's actual point counts (most film
     tables have 2-8 points, far below the syntax maximum of 14)."""
     n_seg = 13
+    chroma_static = None
     if host_params is not None:
         from ..container.ffshim import generate_patterns_native
 
         n_seg = _max_segments(host_params, monochrome)
+        # knowing the params on host also tells us statically whether
+        # any frame touches chroma: photon-noise tables without
+        # --chroma (and many film tables) are luma-only, and skipping
+        # the chroma kernels entirely more than doubles throughput
+        chroma_static = any(
+            hp.chroma_scaling_from_luma
+            or len(hp.scaling_points_cb) > 0
+            or len(hp.scaling_points_cr) > 0
+            for hp in host_params
+        )
         lp, cbp, crp = generate_patterns_native(
             host_params, bit_depth, sub_x, sub_y, monochrome
         )
-        lp = jnp.asarray(lp)
-        cbp = None if cbp is None else jnp.asarray(cbp)
-        crp = None if crp is None else jnp.asarray(crp)
+        # grain values fit int16 (|g| < 2^11 at 12-bit): halves the
+        # host->device pattern upload, which is a measurable share of
+        # batch time on remote-attached runtimes
+        lp = jnp.asarray(lp.astype(np.int16))
+        cbp = None if cbp is None else jnp.asarray(cbp.astype(np.int16))
+        crp = None if crp is None else jnp.asarray(crp.astype(np.int16))
         pats = (lp, cbp, crp)
     else:
         pats = None
@@ -694,6 +708,9 @@ def apply_grain(
             return apply_grain_batch_pallas(
                 y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
             )
+        if chroma_static is False and not monochrome:
+            y_out = _apply_pallas_luma_only(y, pats[0], p, bit_depth, n_seg)
+            return y_out, cb, cr
         return _apply_pallas_with_patterns(
             y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome,
             n_seg=n_seg,
@@ -722,6 +739,26 @@ def apply_grain_batch_pallas(
     return _apply_pallas_with_patterns(
         y, cb, cr, luma_pat, cb_pat, cr_pat, p, bit_depth, sub_x, sub_y, monochrome
     )
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "n_seg"))
+def _apply_pallas_luma_only(y, luma_pat, p: GrainParamsBatch, bit_depth: int, n_seg: int):
+    """Luma-only fast path (no frame in the batch touches chroma)."""
+    from . import grain_pallas as gp
+
+    y = y.astype(jnp.int16)
+    b, h, w = y.shape
+    offs = block_offsets(p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK)
+    return gp.apply_plane_luma(
+        y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth),
+        bit_depth, n_seg=n_seg,
+    )
+
+
+# B >= this: the split luma/chroma-pair kernels (apply_planes_split)
+# replace the 3-plane fused kernel, whose per-grid-step VMEM footprint
+# exceeds the ~16 MB budget at large batches
+SPLIT_BATCH = 48
 
 
 @functools.partial(
@@ -762,7 +799,8 @@ def _apply_pallas_with_patterns(
             gp.pack_plane_params(p, "cr", bit_depth),
         ]
     )
-    return gp.apply_planes_fused(
+    apply_fn = gp.apply_planes_fused if b < SPLIT_BATCH else gp.apply_planes_split
+    return apply_fn(
         y, cb.astype(jnp.int16), cr.astype(jnp.int16),
         luma_pat, cb_pat, cr_pat, offs, params3, bit_depth, sub_x, sub_y,
         n_seg=n_seg,

@@ -608,6 +608,126 @@ def apply_plane_chroma(
 
 
 # ---------------------------------------------------------------------------
+# Chroma-pair kernel: one launch applies grain to Cb AND Cr, computing
+# the averaged-luma scaling input in-kernel from the collocated luma
+# stripe. Splitting luma / chroma-pair (vs the 3-plane fused kernel)
+# cuts per-grid-step VMEM to ~2.7 MB / ~6.5 MB respectively, which is
+# what admits B >= 64 batches under the ~16 MB VMEM budget; both
+# launches sit in ONE jit, so the remote-dispatch round trip stays
+# single and only negligible on-device launch overhead is added.
+
+
+def _chroma_pair_kernel(
+    offs_ref,
+    params2_ref,  # (2B, P_LEN): cb rows then cr rows
+    y_ref,
+    cb_ref,
+    cr_ref,
+    cbrolled_ref,
+    crrolled_ref,
+    avg_r_ref,
+    avg_p_ref,
+    outcb_ref,
+    outcr_ref,
+    *,
+    batch: int,
+    bit_depth: int,
+    nb: int,
+    sub_x: int,
+    sub_y: int,
+    gh_pad_c: int,
+    wpad: int,
+    wc: int,
+    w: int,
+    n_seg: int,
+):
+    bi = pl.program_id(0)
+    avg_fn = _make_inkernel_avg(
+        y_ref, avg_r_ref, avg_p_ref, sub_x, sub_y, wpad, wc, w
+    )
+    _apply_groups(
+        offs_ref, params2_ref, cb_ref, cbrolled_ref, outcb_ref, avg_fn, gh_pad_c,
+        bit_depth, nb, sub_x, sub_y, prow=bi, n_seg=n_seg,
+    )
+    _apply_groups(
+        offs_ref, params2_ref, cr_ref, crrolled_ref, outcr_ref, avg_fn, gh_pad_c,
+        bit_depth, nb, sub_x, sub_y, prow=batch + bi, n_seg=n_seg,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bit_depth", "sub_x", "sub_y", "n_seg")
+)
+def apply_planes_split(
+    y: jnp.ndarray,
+    cb: jnp.ndarray,
+    cr: jnp.ndarray,
+    luma_pat: jnp.ndarray,
+    cb_pat: jnp.ndarray,
+    cr_pat: jnp.ndarray,
+    offsets: jnp.ndarray,
+    params3: jnp.ndarray,  # (3B, P_LEN): y rows, cb rows, cr rows
+    bit_depth: int,
+    sub_x: int,
+    sub_y: int,
+    n_seg: int = 13,
+):
+    """Luma kernel + chroma-pair kernel (two pallas launches, one jit):
+    output-identical to apply_planes_fused, lower VMEM per step."""
+    b, h, w = y.shape
+    hc, wc = cb.shape[1], cb.shape[2]
+    s_count = (h + BLOCK - 1) // BLOCK
+    nb = (w + BLOCK - 1) // BLOCK
+    bh_c = BLOCK >> sub_y
+    wpad = ((w + 127) // 128) * 128
+    wcpad = ((wc + 127) // 128) * 128
+    gh_c = cb_pat.shape[1]
+    packed = pack_offsets(offsets)
+    y_out = apply_plane_luma(
+        y, luma_pat, offsets, params3[:b], bit_depth, n_seg=n_seg
+    )
+    cbrolled = _prerolled(cb_pat, gh_c + 8, sub_x)
+    crrolled = _prerolled(cr_pat, gh_c + 8, sub_x)
+    avg_r, avg_p = _avg_mat_arrays(sub_x, sub_y, wpad, wc, w)
+    k_c = 128 // (BLOCK >> sub_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, s_count),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, 16 * k_c * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * k_c * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
+            pl.BlockSpec(avg_r.shape, lambda bi, s, *_: (0, 0)),
+            pl.BlockSpec(avg_p.shape, lambda bi, s, *_: (0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+            pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
+        ),
+    )
+    kernel = functools.partial(
+        _chroma_pair_kernel, batch=b, bit_depth=bit_depth, nb=nb,
+        sub_x=sub_x, sub_y=sub_y, gh_pad_c=gh_c + 8,
+        wpad=wpad, wc=wc, w=w, n_seg=n_seg,
+    )
+    cb_out, cr_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(cb.shape, cb.dtype),
+            jax.ShapeDtypeStruct(cr.shape, cr.dtype),
+        ),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(
+        packed, params3[b:], y, cb, cr, cbrolled, crrolled,
+        jnp.asarray(avg_r), jnp.asarray(avg_p),
+    )
+    return y_out, cb_out, cr_out
+
+
+# ---------------------------------------------------------------------------
 # Fully-fused 3-plane kernel: one launch applies grain to Y, Cb and Cr.
 # The per-plane parameter rows are stacked as (3B, P_LEN); plane p of
 # frame b reads row p*B + b.

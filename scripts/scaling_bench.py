@@ -1,0 +1,119 @@
+"""Weak-scaling measurement of the sharded grain-apply step on the
+virtual CPU mesh (the only multi-device surface in this environment —
+real multi-chip needs a pod slice).
+
+Fixed per-device work (FRAMES_PER_DEV frames each), device counts 1..8;
+efficiency(n) = t(1) / t(n) for the jitted shard_map step including its
+psum collectives. Writes SCALING.md.
+
+Interpretation caveat, printed into the artifact: the virtual devices
+share this host's physical cores (see nproc), so efficiency at device
+counts beyond the core count measures partitioning + collective
+overhead under oversubscription, not hardware scaling. The design
+property that matters — the program partitions per-device with only
+scalar psums crossing the mesh — is what these numbers bound: on real
+chips each shard runs on its own silicon and the collective cost is a
+pair of scalar all-reduces per step.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python scripts/scaling_bench.py
+"""
+
+import copy
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from av1_builder import sample_grain_params
+from grav1synth_tpu.ops import grain_jax
+from grav1synth_tpu.parallel import make_mesh, sharded_apply_with_stats
+
+FRAMES_PER_DEV = 2
+H = W = 128
+REPS = 5
+
+
+def measure(n_dev: int) -> float:
+    mesh = make_mesh(n_dev)
+    b = FRAMES_PER_DEV * n_dev
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (b, H, W)).astype(np.int32)
+    cb = rng.integers(0, 256, (b, H // 2, W // 2)).astype(np.int32)
+    cr = rng.integers(0, 256, (b, H // 2, W // 2)).astype(np.int32)
+    base = sample_grain_params(seed=41)
+    params = []
+    for i in range(b):
+        p = copy.deepcopy(base)
+        p.grain_seed = (41 + i * 10063) & 0xFFFF
+        params.append(p)
+    pb = grain_jax.pack_params(params)
+
+    def run():
+        out = sharded_apply_with_stats(
+            mesh, y, cb, cr, pb, 8, backend="pallas"
+        )
+        jax.block_until_ready(out)
+        return out
+
+    run()  # compile
+    best = 1e9
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    cores = os.cpu_count() or 1
+    rows = []
+    t1 = None
+    for n in (1, 2, 4, 8):
+        t = measure(n)
+        if t1 is None:
+            t1 = t
+        eff = t1 / t
+        rows.append((n, t * 1e3, eff))
+        print(f"devices={n}: {t*1e3:.1f} ms/step, weak-scaling eff {eff:.2f}")
+    out = [
+        "# SCALING — sharded grain-apply weak scaling (virtual CPU mesh)",
+        "",
+        f"Host physical cores: {cores}. Virtual devices share them, so",
+        f"efficiency at n > {cores} devices measures partition/collective",
+        "overhead under oversubscription, NOT hardware scaling (no pod",
+        "slice is attached in this environment; the 2-process fake-pod",
+        "integration test is tests/test_multihost.py).",
+        "",
+        f"Fixed work per device: {FRAMES_PER_DEV} frames of {W}x{H} 4:2:0,",
+        "production Pallas path (interpret on CPU), psum'd statistics.",
+        "",
+        "| devices | ms/step | weak-scaling efficiency |",
+        "|---|---|---|",
+    ]
+    for n, ms, eff in rows:
+        out.append(f"| {n} | {ms:.1f} | {eff:.2f} |")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
