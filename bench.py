@@ -22,10 +22,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 import numpy as np
 
-# B=64 halves the per-dispatch overhead vs 32; it runs the split
+# B=112 amortizes the per-dispatch overhead; it runs the split
 # luma/chroma-pair kernels (the 3-plane fused kernel's per-step VMEM
-# exceeds the ~16 MB budget past B~48, grain_jax.SPLIT_BATCH)
-B = int(os.environ.get("GRAV1_BENCH_BATCH", "64"))
+# exceeds the ~16 MB budget past B~48, grain_jax.SPLIT_BATCH) and is
+# the largest batch whose flat-packed offsets fit the 1 MB SMEM budget
+# at 4K (B=128 exceeds it)
+B = int(os.environ.get("GRAV1_BENCH_BATCH", "112"))
 N_ITERS = int(os.environ.get("GRAV1_BENCH_ITERS", "6"))
 H, W, BIT_DEPTH = 2160, 3840, 10
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")

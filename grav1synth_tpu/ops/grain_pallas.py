@@ -46,7 +46,8 @@ P_OFFSET = 11
 P_PTS = 12  # 14 (x, y) pairs interleaved
 P_SEG = 12 + 28  # 13 (delta, bias) pairs: f_j(v) = (v*delta + bias) >> 16
 P_LAST_Y = P_SEG + 26
-P_LEN = P_LAST_Y + 1
+P_SEGX = P_LAST_Y + 1  # 13 segment-start x (invalid segs: +inf sentinel)
+P_LEN = P_SEGX + 13
 
 
 def _interpret() -> bool:
@@ -115,15 +116,15 @@ def pack_plane_params(
     # bias pairs with the (v - x_j) form so products stay within int32
     # for any representable curve: lut8(v) = ((v-x_j)*delta_j + bias_j)
     # >> 16 with bias_j = (y_j << 16) + 32768
-    bias = jnp.where(
-        seg_ok,
-        (y_j[:, :-1] << 16) + 32768,
-        -(1 << 30),  # sentinel: never selected (mask below)
-    )
+    bias = jnp.where(seg_ok, (y_j[:, :-1] << 16) + 32768, 0)
     seg = jnp.stack([delta, bias], axis=-1).reshape(b, 26)
     out = out.at[:, P_SEG : P_SEG + 26].set(seg)
     last_y = jnp.take_along_axis(y_j, jnp.maximum(num - 1, 0)[:, None], axis=1)[:, 0]
     out = out.at[:, P_LAST_Y].set(last_y)
+    # invalid segments carry an unreachable start x, so the kernel's
+    # `v >= x0` test alone gates them (no separate validity mask ops)
+    segx = jnp.where(seg_ok, x_j[:, :-1], 1 << 20)
+    out = out.at[:, P_SEGX : P_SEGX + 13].set(segx)
     return out
 
 
@@ -143,24 +144,24 @@ def _eval_scaling8(v, params_ref, bi, n_seg: int, pair: bool = False):
     first_y = params_ref[bi, P_PTS + 1]
     val = jnp.full_like(v, first_y)
     val2 = val
+    v1 = v + 1
     for j in range(n_seg):
-        x0 = params_ref[bi, P_PTS + 2 * j]
+        x0 = params_ref[bi, P_SEGX + j]  # invalid segs: +inf sentinel
         delta = params_ref[bi, P_SEG + 2 * j]
         bias = params_ref[bi, P_SEG + 2 * j + 1]
-        ok = bias != -(1 << 30)
         t = (v - x0) * delta + bias
-        val = jnp.where(ok & (v >= x0), t >> 16, val)
+        val = jnp.where(v >= x0, t >> 16, val)
         if pair:
-            val2 = jnp.where(ok & (v >= x0 - 1), (t + delta) >> 16, val2)
-    # beyond the last point the curve is flat at last_y
+            val2 = jnp.where(v1 >= x0, (t + delta) >> 16, val2)
+    # beyond the last point the curve is flat at last_y. (An inactive
+    # plane — num==0 — needs no zeroing here: the caller's final
+    # active-select discards the grained value entirely.)
     idx_last = jnp.maximum(num - 1, 0)
     last_x = params_ref[bi, P_PTS + 2 * idx_last]
     last_y = params_ref[bi, P_LAST_Y]
     val = jnp.where(v >= last_x, last_y, val)
-    val = jnp.where(num > 0, val, 0)
     if pair:
-        val2 = jnp.where(v + 1 >= last_x, last_y, val2)
-        val2 = jnp.where(num > 0, val2, 0)
+        val2 = jnp.where(v1 >= last_x, last_y, val2)
         return val, val2
     return val
 
