@@ -389,7 +389,16 @@ def _group_noise(
     full-width row slice of the position-specific pre-rolled copies, so
     the merge is k lane-masked selects and ALL blend arithmetic runs
     once at full vector width (vs per-block (bh, bw) tensors that each
-    occupy whole vregs at 1/k lane utilization)."""
+    occupy whole vregs at 1/k lane utilization).
+
+    Slice dedup: block j's left/top-left continuation columns live at
+    lanes [j*bw, j*bw+ov) of block j-1's OWN full-width slices (the
+    rolled copy is a cyclic rotation of the whole pattern row, so a
+    block's slice carries its window's continuation in the next lanes)
+    — so `left`/`tl` reuse the previous iteration's cur/top slices, and
+    only the group's first block (neighbor = last block of the previous
+    group, which the rotation wraps to lane 0) needs dedicated slices:
+    2k+2 dynamic slices per group instead of 4k."""
     bw = BLOCK >> sub_x
     bh = BLOCK >> sub_y
     k = 128 // bw
@@ -399,36 +408,37 @@ def _group_noise(
     gmin = params_ref[prow, P_GMIN]
     gmax = params_ref[prow, P_GMAX]
     s_top = jnp.maximum(s - 1, 0)
+    nbp = (nb + 3) // 4
 
     def copyrows(ox, pos: int, oy, rows: int):
         return rolled_ref[0, pl.ds((ox * k + pos) * gh_pad + oy, rows), :]
 
-    cur = left = top = tl = None
+    blk_prev = jnp.maximum(jnp.minimum(g * k, nb - 1) - 1, 0)
+    rand_l0 = _rand_at(offs_ref, bi, s, blk_prev, nbp)
+    rand_tl0 = _rand_at(offs_ref, bi, s_top, blk_prev, nbp)
+    left = copyrows(rand_l0 >> 4, k - 1, _off_xy(rand_l0, sub_x, sub_y)[1], bh)
+    tl = copyrows(
+        rand_tl0 >> 4, k - 1, _off_xy(rand_tl0, sub_x, sub_y)[1] + bh, ov_r
+    )
+    cur = top = prev_cur = prev_top = None
     for j in range(k):
         blk = jnp.minimum(g * k + j, nb - 1)
-        blk_l = jnp.maximum(blk - 1, 0)
-        nbp = (nb + 3) // 4
         rand = _rand_at(offs_ref, bi, s, blk, nbp)
-        rand_l = _rand_at(offs_ref, bi, s, blk_l, nbp)
         rand_t = _rand_at(offs_ref, bi, s_top, blk, nbp)
-        rand_tl = _rand_at(offs_ref, bi, s_top, blk_l, nbp)
         oy = _off_xy(rand, sub_x, sub_y)[1]
-        oy_l = _off_xy(rand_l, sub_x, sub_y)[1]
         oy_t = _off_xy(rand_t, sub_x, sub_y)[1]
-        oy_tl = _off_xy(rand_tl, sub_x, sub_y)[1]
         cur_j = copyrows(rand >> 4, j, oy, bh)
-        left_j = copyrows(rand_l >> 4, (j - 1) % k, oy_l, bh)
         top_j = copyrows(rand_t >> 4, j, oy_t + bh, ov_r)
-        tl_j = copyrows(rand_tl >> 4, (j - 1) % k, oy_tl + bh, ov_r)
         if j == 0:
-            cur, left, top, tl = cur_j, left_j, top_j, tl_j
+            cur, top = cur_j, top_j
         else:
             m = lane >= j * bw
             cur = jnp.where(m, cur_j, cur)
-            left = jnp.where(m, left_j, left)
+            left = jnp.where(m, prev_cur, left)
             m_r = m[:ov_r]
             top = jnp.where(m_r, top_j, top)
-            tl = jnp.where(m_r, tl_j, tl)
+            tl = jnp.where(m_r, prev_top, tl)
+        prev_cur, prev_top = cur_j, top_j
 
     # horizontal blend: lanes < ov_c of each block that has a left
     # neighbor (every block except block 0 of group 0)

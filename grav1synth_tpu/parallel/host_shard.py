@@ -19,8 +19,11 @@ probe of each packet's first frame header.
 
 from __future__ import annotations
 
+import logging
 import multiprocessing as mp
 from typing import List, Optional, Sequence, Tuple
+
+log = logging.getLogger("grav1synth")
 
 from ..container import ivf
 from ..obu import Av1Parser, GrainAction, GrainRewriter
@@ -67,13 +70,26 @@ def plan_shards(
     n = len(keyframes)
     key_idx = [i for i, k in enumerate(keyframes) if k]
     if not key_idx or key_idx[0] != 0:
-        return [(0, n)]  # no safe split points: single shard
+        # no safe split points: single shard (tell the user, who asked
+        # for parallelism and would otherwise never learn it was
+        # abandoned)
+        log.warning(
+            "stream has no keyframe-aligned split points "
+            "(first packet is not a keyframe); proceeding with 1 shard"
+        )
+        return [(0, n)]
     target = max(1, n // n_shards)
     bounds = [0]
     for k in key_idx[1:]:
         if k - bounds[-1] >= target and len(bounds) < n_shards:
             bounds.append(k)
     bounds.append(n)
+    if len(bounds) - 1 < n_shards:
+        log.info(
+            "keyframe spacing admits %d shard(s) of the %d requested",
+            len(bounds) - 1,
+            n_shards,
+        )
     return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
 
 

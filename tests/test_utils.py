@@ -84,7 +84,12 @@ class TestTrace:
             r.f(3, "alpha")
             r.f(5, "beta")
         msgs = [rec.getMessage() for rec in caplog.records]
-        assert msgs == ["0 alpha 101 = 5", "3 beta 01100 = 12"]
+        # reference trace.rs:37-49 layout: pos left-12, name+binary
+        # padded to column 60
+        assert msgs == [
+            "0           alpha" + "101".rjust(55) + " = 5",
+            "3           beta" + "01100".rjust(56) + " = 12",
+        ]
 
     def test_zero_overhead_without_hook(self):
         r = BitReader(b"\xff")
