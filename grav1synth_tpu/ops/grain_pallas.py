@@ -44,7 +44,7 @@ P_MULT = 9
 P_LUMA_MULT = 10
 P_OFFSET = 11
 P_PTS = 12  # 14 (x, y) pairs interleaved
-P_SEG = 12 + 28  # 13 (delta, bias) pairs: f_j(v) = (v*delta + bias) >> 16
+P_SEG = 12 + 28  # 13 (delta, c) pairs: f_j(v) = (v*delta + c) >> 16
 P_LAST_Y = P_SEG + 26
 P_SEGX = P_LAST_Y + 1  # 13 segment-start x (invalid segs: +inf sentinel)
 P_LEN = P_SEGX + 13
@@ -102,9 +102,13 @@ def pack_plane_params(
     out = out.at[:, P_OFFSET].set(offset)
     out = out.at[:, P_PTS : P_PTS + 28].set(pts.reshape(b, 28))
     # per-segment affine form of the spec LUT: for v in [x_j, x_{j+1}),
-    # lut8(v) = (v * delta_j + bias_j) >> 16 with
-    # delta_j = dy * ((65536 + dx/2) // dx), bias_j = (y_j << 16) -
-    # x_j * delta_j + 32768
+    # lut8(v) = (v * delta_j + c_j) >> 16 with
+    # delta_j = dy * ((65536 + dx/2) // dx),
+    # c_j = (y_j << 16) + 32768 - x_j * delta_j   (mod 2^32)
+    # v*delta_j + c_j may wrap int32 for lanes OUTSIDE segment j (they
+    # are overwritten by their own segment), but for v inside it equals
+    # (v-x_j)*delta_j + (y_j<<16) + 32768, which always fits int32 —
+    # mod-2^32 arithmetic therefore reproduces the exact spec value
     x_j = pts[:, :, 0]
     y_j = pts[:, :, 1]
     dx = x_j[:, 1:] - x_j[:, :-1]
@@ -113,11 +117,9 @@ def pack_plane_params(
     delta = dy * ((65536 + (dx_safe >> 1)) // dx_safe)
     seg_ok = (jnp.arange(13)[None, :] < (num[:, None] - 1)) & (dx > 0)
     delta = jnp.where(seg_ok, delta, 0)
-    # bias pairs with the (v - x_j) form so products stay within int32
-    # for any representable curve: lut8(v) = ((v-x_j)*delta_j + bias_j)
-    # >> 16 with bias_j = (y_j << 16) + 32768
     bias = jnp.where(seg_ok, (y_j[:, :-1] << 16) + 32768, 0)
-    seg = jnp.stack([delta, bias], axis=-1).reshape(b, 26)
+    c = bias - x_j[:, :-1] * delta  # int32 wrap intended (see above)
+    seg = jnp.stack([delta, c], axis=-1).reshape(b, 26)
     out = out.at[:, P_SEG : P_SEG + 26].set(seg)
     last_y = jnp.take_along_axis(y_j, jnp.maximum(num - 1, 0)[:, None], axis=1)[:, 0]
     out = out.at[:, P_LAST_Y].set(last_y)
@@ -132,36 +134,40 @@ def _eval_scaling8(v, params_ref, bi, n_seg: int, pair: bool = False):
     """lut8 value at 8-bit node positions (exact spec integer math).
 
     Ascending-overwrite evaluation with precomputed per-segment affine
-    constants (pack_plane_params): val starts at the first point's y,
-    each valid segment overwrites [x_j, inf) with (v*delta_j + bias_j)
-    >> 16, and values past the last point get last_y — ~5 vector ops
-    per segment. ``n_seg`` statically bounds the segment loop: the
-    caller knows the actual point counts at trace time (splice time in
-    production), so curves with few points cost few ops. ``pair``
+    constants (pack_plane_params): the whole chain runs in the t-domain
+    (value << 16, rounding bias included), so each valid segment is
+    mul + add + cmp + select — the single >> 16 happens once at the
+    end. val starts at the first point's y, each segment overwrites
+    [x_j, inf) with v*delta_j + c_j, and values past the last point get
+    last_y. Per-lane int32 wrap in non-winning segments is harmless:
+    the winning (last matching) segment's t always fits (see
+    pack_plane_params). ``n_seg`` statically bounds the segment loop:
+    the caller knows the actual point counts at trace time (splice time
+    in production), so curves with few points cost few ops. ``pair``
     additionally returns the value at v+1 (the high-bit-depth
-    interpolation neighbor), sharing the per-segment product."""
+    interpolation neighbor), sharing the per-segment product and using
+    scalar-shifted compare thresholds (v >= x0-1 <=> v+1 >= x0)."""
     num = params_ref[bi, P_NUM_PTS]
     first_y = params_ref[bi, P_PTS + 1]
-    val = jnp.full_like(v, first_y)
+    val = jnp.full_like(v, (first_y << 16) + 32768)
     val2 = val
-    v1 = v + 1
     for j in range(n_seg):
         x0 = params_ref[bi, P_SEGX + j]  # invalid segs: +inf sentinel
         delta = params_ref[bi, P_SEG + 2 * j]
-        bias = params_ref[bi, P_SEG + 2 * j + 1]
-        t = (v - x0) * delta + bias
-        val = jnp.where(v >= x0, t >> 16, val)
+        c = params_ref[bi, P_SEG + 2 * j + 1]
+        t = v * delta + c
+        val = jnp.where(v >= x0, t, val)
         if pair:
-            val2 = jnp.where(v1 >= x0, (t + delta) >> 16, val2)
+            val2 = jnp.where(v >= x0 - 1, t + delta, val2)
     # beyond the last point the curve is flat at last_y. (An inactive
     # plane — num==0 — needs no zeroing here: the caller's final
     # active-select discards the grained value entirely.)
     idx_last = jnp.maximum(num - 1, 0)
     last_x = params_ref[bi, P_PTS + 2 * idx_last]
-    last_y = params_ref[bi, P_LAST_Y]
-    val = jnp.where(v >= last_x, last_y, val)
+    last_t = (params_ref[bi, P_LAST_Y] << 16) + 32768
+    val = jnp.where(v >= last_x, last_t, val) >> 16
     if pair:
-        val2 = jnp.where(v1 >= last_x, last_y, val2)
+        val2 = jnp.where(v >= last_x - 1, last_t, val2) >> 16
         return val, val2
     return val
 
