@@ -85,8 +85,9 @@ def measure_tpu_fps(params=None) -> float:
 
     # dependency-chained timing: iteration k consumes iteration k-1's
     # output, so the device must fully execute each batch in sequence.
-    # best-of-3 repeats filter remote-runtime scheduling noise.
-    best = 0.0
+    # best-of-3 repeats filter remote-runtime scheduling noise; the
+    # per-run values are returned so run-to-run spread is recorded.
+    runs = []
     for _ in range(3):
         t0 = time.time()
         cur = y
@@ -94,8 +95,8 @@ def measure_tpu_fps(params=None) -> float:
             cur = apply(cur)
         _ = np.asarray(cur[0, :1, :8])  # sync
         elapsed = time.time() - t0
-        best = max(best, B * N_ITERS / elapsed)
-    return best
+        runs.append(B * N_ITERS / elapsed)
+    return max(runs), runs
 
 
 def measure_dav1d_baseline_fps() -> float:
@@ -236,12 +237,14 @@ def main() -> None:
         "vs_baseline": 0.0,
     }
     try:
-        fps = measure_tpu_fps()
+        fps, runs = measure_tpu_fps()
         result["value"] = round(fps, 2)
+        result["runs_fps"] = [round(r, 1) for r in runs]
+        result["runs_sigma"] = round(float(np.std(runs)), 1)
         try:
-            result["generate_apply_fps"] = round(
-                measure_tpu_fps(_photon_params(B)), 2
-            )
+            gen_fps, gen_runs = measure_tpu_fps(_photon_params(B))
+            result["generate_apply_fps"] = round(gen_fps, 2)
+            result["generate_runs_sigma"] = round(float(np.std(gen_runs)), 1)
         except Exception as e:
             result["generate_error"] = str(e)[:200]
         try:

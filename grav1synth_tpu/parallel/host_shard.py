@@ -38,27 +38,61 @@ def _av1_ts(pts: int, tb_num: int, tb_den: int) -> int:
     return -(-pts * tb_num * 10_000_000 // tb_den)
 
 
+def _probe_packet_keyframe(data: bytes, seq_box: list) -> bool:
+    """Cheap keyframe probe: walks only the OBU framing and the first
+    frame header's leading bits (show_existing_frame / frame_type /
+    show_frame) — no full uncompressed_header walk, so the pre-shard
+    scan costs O(OBU count), not a second parse pass. ``seq_box`` is a
+    one-element mutable holder of the current SequenceHeader (sequence
+    OBUs still parse fully; they are rare and the probe needs
+    reduced_still_picture_header)."""
+    from ..bitio import BitReader
+    from ..obu.sequence import parse_sequence_header
+    from ..obu.types import ObuType
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        r = BitReader(data, start_bit=pos * 8)
+        r.zero_bit()
+        obu_type = ObuType(r.f(4))
+        ext = r.bool_()
+        has_size = r.bool_()
+        r.zero_bit()
+        if ext:
+            r.f(8)
+        size = r.leb128() if has_size else n - r.byte_pos()
+        payload_start = r.byte_pos()
+        payload_end = payload_start + size
+        if payload_end > n:
+            raise ValueError("OBU size overruns packet")
+        if obu_type == ObuType.SEQUENCE_HEADER:
+            r.end = payload_end * 8
+            seq_box[0] = parse_sequence_header(r, payload_start * 8)
+        elif obu_type in (ObuType.FRAME, ObuType.FRAME_HEADER):
+            seq = seq_box[0]
+            if seq is None:
+                return False
+            if seq.reduced_still_picture_header:
+                return True  # frame_type = KEY, show_frame = 1
+            if r.bool_():  # show_existing_frame
+                return False
+            frame_type = r.f(2)
+            show_frame = r.bool_()
+            return frame_type == 0 and show_frame
+        pos = payload_end
+    return False
+
+
 def keyframe_flags(packets: Sequence[ivf.IvfPacket]) -> List[bool]:
-    """True for packets whose first frame is a shown keyframe (probed
-    with a full parser walk — cheap, headers only)."""
-    parser = Av1Parser()
+    """True for packets whose first frame is a shown keyframe."""
+    seq_box: list = [None]
     flags = []
     for p in packets:
-        is_key = False
         try:
-            for obu in parser.parse_packet(p.data, 0):
-                if obu.frame is not None:
-                    from ..obu.types import FrameType
-
-                    is_key = (
-                        obu.frame.frame_type == FrameType.KEY
-                        and obu.frame.show_frame
-                        and not obu.frame.show_existing_frame
-                    )
-                    break
+            flags.append(_probe_packet_keyframe(p.data, seq_box))
         except Exception:
-            is_key = False
-        flags.append(is_key)
+            flags.append(False)
     return flags
 
 

@@ -105,6 +105,16 @@ def test_extreme_scaling_curve():
     _check([p])
 
 
+def test_extreme_scaling_curve_10bit():
+    """The intentional int32 wrap in c_j = bias - x0*delta combined with
+    the high-bit-depth pair evaluation (v >= x0-1 threshold, t + delta
+    neighbor) — worst-case curve at 10-bit, on both pattern paths."""
+    p = sample_grain_params(seed=3)
+    p.scaling_points_y = [(0, 0), (1, 255), (2, 0), (128, 200), (255, 10)]
+    _check([p], bit_depth=10)
+    _check([p], bit_depth=10, host_patterns=True)
+
+
 def test_nseg_specialized_10bit():
     """host-params path specializes the scaling segment loop to the
     batch's actual point count AND takes the shared dual-point (pair)

@@ -106,7 +106,7 @@ class TestFfmpegOracle:
             total_common += len(common)
         assert total_ff > 200  # the oracle actually traced something
         coverage = total_common / total_ff
-        assert coverage >= 0.7, f"field-name coverage too low: {coverage:.2f}"
+        assert coverage >= 0.85, f"field-name coverage too low: {coverage:.2f}"
 
     def test_grain_fields_in_both(self, grainy_packets):
         """The grain syntax itself (the part we splice) must appear in
