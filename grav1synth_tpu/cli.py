@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("inspect", help="write a grain table from a video's grain headers")
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True, help="grain table file to write")
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=1,
+        help="parse GOP ranges in N parallel processes (IVF inputs; "
+        "result is identical to --shards 1)",
+    )
 
     p = sub.add_parser("apply", help="splice a grain table into a video")
     p.add_argument("input")
@@ -86,6 +93,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=1)
 
     p = sub.add_parser(
+        "render",
+        help="decode to pixels with film grain synthesized on TPU (y4m out)",
+    )
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True, help="y4m file to write")
+    p.add_argument(
+        "--batch", type=int, default=16, help="frames per device batch"
+    )
+    p.add_argument(
+        "--no-grain",
+        action="store_true",
+        help="skip grain synthesis (clean decode)",
+    )
+    p.add_argument("-y", action="store_true")
+
+    p = sub.add_parser(
         "estimate",
         help="(experimental) estimate noise from a single input, no reference",
     )
@@ -112,7 +135,19 @@ def main(argv=None) -> int:
     from . import pipelines
 
     if args.command == "inspect":
-        segments = pipelines.inspect(args.input, args.output)
+        with open(args.input, "rb") as fh:
+            is_ivf = fh.read(4) == b"DKIF"
+        if args.shards > 1 and is_ivf:
+            from .parallel.host_shard import sharded_inspect_ivf
+            from .tables import dump_table
+
+            segments = sharded_inspect_ivf(args.input, args.shards)
+            if segments is not None:
+                dump_table(segments, args.output)
+        else:
+            if args.shards > 1:
+                print("note: --shards applies to IVF inputs; using 1 shard")
+            segments = pipelines.inspect(args.input, args.output)
         if segments is None:
             print("No film grain headers found")
         else:
@@ -144,6 +179,12 @@ def main(argv=None) -> int:
         else:
             n = pipelines.remove(args.input, args.output, resume=args.resume)
         print(f"Done, rewrote {n} video packets")
+    elif args.command == "render":
+        _check_paths(args.input, args.output, args.y)
+        n = pipelines.render(
+            args.input, args.output, batch=args.batch, grain=not args.no_grain
+        )
+        print(f"Done, rendered {n} frames")
     elif args.command == "estimate":
         segments = pipelines.estimate(args.input, args.output, args.raw)
         print(f"Done, wrote grain table ({len(segments)} segments)")

@@ -114,7 +114,7 @@ def parse_uncompressed_header(
     else:
         show_existing_frame = r.bool_("show_existing_frame")
         if show_existing_frame:
-            r.f(3, "frame_to_show_map_idx")
+            frame_to_show_map_idx = r.f(3, "frame_to_show_map_idx")
             # temporal_point_info for equal_picture_interval==0 streams
             if seq.decoder_model_info is not None and not (
                 seq.timing_info is not None and seq.timing_info.equal_picture_interval
@@ -128,7 +128,10 @@ def parse_uncompressed_header(
             hdr.show_frame = True
             hdr.show_existing_frame = True
             hdr.frame_type = FrameType.KEY
-            hdr.grain = GrainHeader(GrainAction.COPY_REF)
+            hdr.grain = GrainHeader(
+                GrainAction.COPY_REF, ref_idx=frame_to_show_map_idx
+            )
+            hdr.frame_to_show_map_idx = frame_to_show_map_idx
             hdr.tile_info = prev_tile_info if prev_tile_info is not None else TileInfo()
             hdr.grain_bit_range = None
             return hdr
@@ -345,6 +348,8 @@ def parse_uncompressed_header(
         seq.color_config,
     )
     hdr.grain_bit_range = (grain_start, r.pos)
+
+    hdr.refresh_frame_flags = refresh_frame_flags
 
     # reference-slot updates (spec 7.20 subset)
     for i in range(NUM_REF_FRAMES):

@@ -44,8 +44,10 @@ def parse_film_grain_params(
     else:
         update_grain = True
     if not update_grain:
-        r.f(3, "film_grain_params_ref_idx")
-        return GrainHeader(GrainAction.COPY_REF)
+        ref_idx = r.f(3, "film_grain_params_ref_idx")
+        return GrainHeader(
+            GrainAction.COPY_REF, ref_idx=ref_idx, seed=p.grain_seed
+        )
 
     num_y_points = r.f(4, "num_y_points")
     for i in range(num_y_points):
@@ -102,7 +104,7 @@ def parse_film_grain_params(
         p.cr_offset = r.f(9, "cr_offset")
     p.overlap_flag = r.bool_("overlap_flag")
     p.clip_to_restricted_range = r.bool_("clip_to_restricted_range")
-    return GrainHeader(GrainAction.UPDATE, p)
+    return GrainHeader(GrainAction.UPDATE, p, seed=p.grain_seed)
 
 
 def _exact_len(coeffs, n: int, name: str):

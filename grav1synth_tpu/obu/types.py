@@ -122,10 +122,18 @@ class FilmGrainParams:
 
 @dataclass
 class GrainHeader:
-    """Per-frame grain outcome from parsing."""
+    """Per-frame grain outcome from parsing.
+
+    ``ref_idx``/``seed`` support decoder-side grain resolution (the
+    render pipeline): COPY_REF carries film_grain_params_ref_idx and
+    the freshly-read 16-bit seed that replaces the copied one (spec
+    5.9.30 tempGrainSeed rule); show_existing_frame COPY_REF carries
+    frame_to_show_map_idx and no seed (the saved seed is kept)."""
 
     action: GrainAction
     params: Optional[FilmGrainParams] = None  # set iff action == UPDATE
+    ref_idx: Optional[int] = None  # set iff action == COPY_REF
+    seed: Optional[int] = None  # fresh seed (UPDATE and inter COPY_REF)
 
 
 @dataclass
@@ -249,3 +257,8 @@ class FrameHeader:
     grain: GrainHeader = field(default_factory=lambda: GrainHeader(GrainAction.DISABLE))
     tile_info: TileInfo = field(default_factory=TileInfo)
     grain_bit_range: Optional[Tuple[int, int]] = None
+    # decoder-state fields the render pipeline tracks (spec 7.20):
+    # which reference slots this frame refreshes, and for
+    # show_existing_frame the slot being displayed
+    refresh_frame_flags: int = 0
+    frame_to_show_map_idx: Optional[int] = None

@@ -478,6 +478,194 @@ def diff(
         return segments
 
 
+class GrainFrameState:
+    """Decoder-side film-grain state machine (spec 7.20 / 5.9.30): saved
+    per-reference-slot grain parameters, COPY_REF seed substitution, and
+    the show_existing-keyframe full-state reload. Resolves each DISPLAYED
+    frame's effective FilmGrainParams — what dav1d itself computes before
+    synthesis, which the render pipeline feeds to the TPU engine."""
+
+    def __init__(self) -> None:
+        self.saved: List[Optional["FilmGrainParams"]] = [None] * 8
+        self.key: List[bool] = [False] * 8
+
+    def frame_params(self, hdr) -> Tuple[bool, Optional["FilmGrainParams"]]:
+        """Returns (is_displayed, effective_params_or_None) and updates
+        the slot state for ``hdr``."""
+        import dataclasses
+
+        from .obu.types import FrameType
+
+        if hdr.show_existing_frame:
+            idx = hdr.frame_to_show_map_idx or 0
+            params = self.saved[idx]
+            if self.key[idx]:
+                # re-showing a hidden keyframe reloads every slot from
+                # it (spec decode_frame_wrapup: show_existing of a KEY
+                # frame refreshes all references with its saved state)
+                self.saved = [params] * 8
+                self.key = [True] * 8
+            return True, params
+        g = hdr.grain
+        if g.action == GrainAction.UPDATE:
+            cur = g.params
+        elif g.action == GrainAction.COPY_REF and g.ref_idx is not None:
+            src = self.saved[g.ref_idx]
+            # copied params keep everything but the freshly-read seed
+            # (spec 5.9.30 tempGrainSeed)
+            cur = (
+                None
+                if src is None
+                else dataclasses.replace(src, grain_seed=g.seed or 0)
+            )
+        else:
+            cur = None
+        for i in range(8):
+            if (hdr.refresh_frame_flags >> i) & 1:
+                self.saved[i] = cur
+                self.key[i] = hdr.frame_type == FrameType.KEY
+        return hdr.show_frame, cur
+
+
+def _grain_visible(p) -> bool:
+    return p is not None and bool(
+        p.scaling_points_y
+        or p.scaling_points_cb
+        or p.scaling_points_cr
+        or p.chroma_scaling_from_luma
+    )
+
+
+def render(
+    input_path: str,
+    output_path: str,
+    batch: int = 16,
+    grain: bool = True,
+    progress: bool = True,
+) -> int:
+    """Decode an AV1 stream and emit pixels WITH film grain synthesized
+    by the TPU engine (y4m output). Capability superset of the
+    reference, which delegates synthesis to players (its only decode
+    surface is diff's, src/reader.rs:126-212); here the flagship Pallas
+    engine becomes a product feature. Returns the frame count.
+
+    Decode (dav1d, grain off) and header parsing run on host; frames
+    batch through ops.grain_jax.apply_grain (host-generated patterns +
+    Pallas scaling/blend kernels), bit-exact with dav1d's own synthesis.
+    """
+    import numpy as np
+
+    from .container.ffshim import Decoder
+    from .container.y4m import Y4mWriter
+    from .ops import grain_jax
+
+    with VideoFile(input_path) as vf:
+        parser = Av1Parser()
+        state = GrainFrameState()
+        params_q: List[Optional[object]] = []
+
+        def packet_feed():
+            for pkt in vf.packets():
+                if not pkt.is_video:
+                    continue
+                for obu in parser.parse_packet(
+                    pkt.data, pkt.av1_ts, pkt.obu_extents
+                ):
+                    if obu.frame is not None and not obu.is_redundant_frame_header:
+                        shown, params = state.frame_params(obu.frame)
+                        if shown:
+                            params_q.append(params if grain else None)
+                yield _decodable(pkt), pkt.pts
+
+        dec = Decoder("libdav1d", apply_grain=False)
+        writer: Optional[Y4mWriter] = None
+        bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
+        pend: list = []  # [(Frame, params)]
+        frames_out = 0
+        next_param = 0
+
+        def flush() -> None:
+            nonlocal frames_out
+            if not pend:
+                return
+            bd = pend[0][0].bit_depth
+            mono = len(pend[0][0].planes) == 1
+            sub = pend[0][0].subsampling
+            todo = [i for i, (_, p) in enumerate(pend) if _grain_visible(p)]
+            outs = [list(f.planes) for f, _ in pend]
+            if todo:
+                hp = [pend[i][1] for i in todo]
+                pb = grain_jax.pack_params(hp)
+                y = np.stack([pend[i][0].planes[0] for i in todo]).astype(np.int16)
+                if mono:
+                    yo, _, _ = grain_jax.apply_grain(
+                        y, None, None, pb, bd, sub[0], sub[1], True,
+                        backend="pallas", host_params=hp,
+                    )
+                    cbo = cro = None
+                else:
+                    cb = np.stack([pend[i][0].planes[1] for i in todo]).astype(np.int16)
+                    cr = np.stack([pend[i][0].planes[2] for i in todo]).astype(np.int16)
+                    yo, cbo, cro = grain_jax.apply_grain(
+                        y, cb, cr, pb, bd, sub[0], sub[1], False,
+                        backend="pallas", host_params=hp,
+                    )
+                dt = np.uint8 if bd == 8 else np.uint16
+                for k, i in enumerate(todo):
+                    outs[i][0] = np.asarray(yo[k]).astype(dt)
+                    if not mono and cbo is not None:
+                        outs[i][1] = np.asarray(cbo[k]).astype(dt)
+                        outs[i][2] = np.asarray(cro[k]).astype(dt)
+            for planes in outs:
+                writer.write_frame(planes)
+                frames_out += 1
+                bar.step()
+            pend.clear()
+
+        for frame in dec.decode_all(packet_feed()):
+            if next_param >= len(params_q):
+                # decoder produced a frame we have no header for; treat
+                # as grainless rather than desync
+                params_q.append(None)
+            params = params_q[next_param]
+            next_param += 1
+            if writer is None:
+                writer = Y4mWriter(
+                    output_path,
+                    frame.width,
+                    frame.height,
+                    vf.fps,
+                    frame.bit_depth,
+                    frame.subsampling,
+                    monochrome=len(frame.planes) == 1,
+                )
+            geom = (
+                frame.width,
+                frame.height,
+                frame.bit_depth,
+                frame.subsampling,
+                len(frame.planes),
+            )
+            if pend and geom != (
+                pend[0][0].width,
+                pend[0][0].height,
+                pend[0][0].bit_depth,
+                pend[0][0].subsampling,
+                len(pend[0][0].planes),
+            ):
+                flush()
+            pend.append((frame, params))
+            if len(pend) >= batch:
+                flush()
+        flush()
+        dec.close()
+        if writer is not None:
+            writer.close()
+        bar.done()
+        log.info("Done, wrote %d frames to %s", frames_out, output_path)
+        return frames_out
+
+
 def estimate(
     input_path: str,
     output_path: str,

@@ -400,6 +400,18 @@ class TestCli:
         with pytest.raises(SystemExit):
             main(["remove", real_ivf, "-o", real_ivf])
 
+    def test_cli_inspect_shards(self, real_ivf, grain_table, tmp_path):
+        """inspect --shards N produces the identical table to serial."""
+        from grav1synth_tpu.cli import main
+
+        grainy = tmp_path / "g.ivf"
+        assert main(["apply", real_ivf, "-o", str(grainy), "-g", grain_table, "-y"]) == 0
+        t1 = tmp_path / "serial.tbl"
+        t2 = tmp_path / "sharded.tbl"
+        assert main(["inspect", str(grainy), "-o", str(t1)]) == 0
+        assert main(["inspect", str(grainy), "-o", str(t2), "--shards", "2"]) == 0
+        assert open(t1, "rb").read() == open(t2, "rb").read()
+
 
 class TestMkv:
     def test_mkv_roundtrip(self, real_ivf, grain_table, tmp_path):
