@@ -691,35 +691,40 @@ def apply_grain(
             or len(hp.scaling_points_cr) > 0
             for hp in host_params
         )
-        lp, cbp, crp = generate_patterns_native(
-            host_params, bit_depth, sub_x, sub_y, monochrome
-        )
+        with jax.profiler.TraceAnnotation("grain/pattern_gen_native"):
+            lp, cbp, crp = generate_patterns_native(
+                host_params, bit_depth, sub_x, sub_y, monochrome
+            )
         # grain values fit int16 (|g| < 2^11 at 12-bit): halves the
         # host->device pattern upload, which is a measurable share of
         # batch time on remote-attached runtimes
-        lp = jnp.asarray(lp.astype(np.int16))
-        cbp = None if cbp is None else jnp.asarray(cbp.astype(np.int16))
-        crp = None if crp is None else jnp.asarray(crp.astype(np.int16))
+        with jax.profiler.TraceAnnotation("grain/pattern_upload"):
+            lp = jnp.asarray(lp.astype(np.int16))
+            cbp = None if cbp is None else jnp.asarray(cbp.astype(np.int16))
+            crp = None if crp is None else jnp.asarray(crp.astype(np.int16))
         pats = (lp, cbp, crp)
     else:
         pats = None
-    if backend == "pallas":
+    with jax.profiler.TraceAnnotation("grain/apply_dispatch"):
+        if backend == "pallas":
+            if pats is None:
+                return apply_grain_batch_pallas(
+                    y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
+                )
+            if chroma_static is False and not monochrome:
+                y_out = _apply_pallas_luma_only(y, pats[0], p, bit_depth, n_seg)
+                return y_out, cb, cr
+            return _apply_pallas_with_patterns(
+                y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome,
+                n_seg=n_seg,
+            )
         if pats is None:
-            return apply_grain_batch_pallas(
+            return apply_grain_batch(
                 y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
             )
-        if chroma_static is False and not monochrome:
-            y_out = _apply_pallas_luma_only(y, pats[0], p, bit_depth, n_seg)
-            return y_out, cb, cr
-        return _apply_pallas_with_patterns(
-            y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome,
-            n_seg=n_seg,
+        return _apply_xla_with_patterns(
+            y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome
         )
-    if pats is None:
-        return apply_grain_batch(y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome)
-    return _apply_xla_with_patterns(
-        y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome
-    )
 
 
 @functools.partial(
@@ -785,12 +790,19 @@ def _apply_pallas_with_patterns(
     # the kernel's memory traffic vs int32; arithmetic widens in VMEM
     y = y.astype(jnp.int16)
     b, h, w = y.shape
-    offs = block_offsets(p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK)
-    if monochrome:
-        y_out = gp.apply_plane_luma(
-            y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth),
-            bit_depth, n_seg=n_seg,
+    # named scopes label the HLO so xprof device traces split the cost
+    # into offsets / luma / chroma stages (SURVEY §5 profiling mandate;
+    # capture recipe in ROADMAP.md)
+    with jax.named_scope("grain_offsets"):
+        offs = block_offsets(
+            p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK
         )
+    if monochrome:
+        with jax.named_scope("grain_luma"):
+            y_out = gp.apply_plane_luma(
+                y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth),
+                bit_depth, n_seg=n_seg,
+            )
         return y_out, None, None
     params3 = jnp.concatenate(
         [
@@ -800,11 +812,12 @@ def _apply_pallas_with_patterns(
         ]
     )
     apply_fn = gp.apply_planes_fused if b < SPLIT_BATCH else gp.apply_planes_split
-    return apply_fn(
-        y, cb.astype(jnp.int16), cr.astype(jnp.int16),
-        luma_pat, cb_pat, cr_pat, offs, params3, bit_depth, sub_x, sub_y,
-        n_seg=n_seg,
-    )
+    with jax.named_scope("grain_planes"):
+        return apply_fn(
+            y, cb.astype(jnp.int16), cr.astype(jnp.int16),
+            luma_pat, cb_pat, cr_pat, offs, params3, bit_depth, sub_x, sub_y,
+            n_seg=n_seg,
+        )
 
 
 @functools.partial(
