@@ -156,6 +156,25 @@ def load_native() -> C.CDLL:
     lib.grav_encoder_receive.argtypes = [C.c_void_p, C.POINTER(GravPacketViewC)]
     lib.grav_encoder_close.argtypes = [C.c_void_p]
 
+    lib.grav_demux_disposition.argtypes = [C.c_void_p, C.c_int]
+    lib.grav_demux_meta.argtypes = [C.c_void_p, C.c_int, C.c_char_p, C.c_int]
+    lib.grav_demux_chapter_count.argtypes = [C.c_void_p]
+    lib.grav_demux_chapter.argtypes = [
+        C.c_void_p,
+        C.c_int,
+        C.POINTER(C.c_int64),
+        C.POINTER(C.c_int64),
+        C.c_char_p,
+        C.c_int,
+    ]
+    lib.grav_make_multistream.argtypes = [
+        C.c_char_p,
+        C.c_char_p,
+        C.c_int,
+        C.c_char_p,
+        C.c_int,
+    ]
+
     _lib = lib
     return lib
 
@@ -264,6 +283,36 @@ class Demuxer:
                 view.stream_index, data, view.pts, view.dts, view.duration, view.flags
             )
 
+    def disposition(self, idx: int) -> int:
+        """AV_DISPOSITION_* bitmask of a stream."""
+        return self._lib.grav_demux_disposition(self._h, idx)
+
+    def metadata(self, stream: int = -1) -> dict:
+        """Tag metadata of a stream, or the container's (stream=-1)."""
+        buf = C.create_string_buffer(1 << 16)
+        n = self._lib.grav_demux_meta(self._h, stream, buf, len(buf))
+        if n < 0:
+            raise IndexError(f"bad stream index {stream}")
+        out = {}
+        for line in buf.value.decode("utf-8", "replace").splitlines():
+            if "=" in line:
+                k, v = line.split("=", 1)
+                out[k] = v
+        return out
+
+    def chapters(self):
+        """[(start_ms, end_ms, title), ...]"""
+        out = []
+        title = C.create_string_buffer(512)
+        start = C.c_int64()
+        end = C.c_int64()
+        for i in range(self._lib.grav_demux_chapter_count(self._h)):
+            self._lib.grav_demux_chapter(
+                self._h, i, C.byref(start), C.byref(end), title, len(title)
+            )
+            out.append((start.value, end.value, title.value.decode()))
+        return out
+
     def close(self) -> None:
         if self._h:
             self._lib.grav_demux_close(self._h)
@@ -274,6 +323,26 @@ class Demuxer:
 
     def __exit__(self, *a):
         self.close()
+
+
+def make_multistream_fixture(
+    video_in: str,
+    out_path: str,
+    audio: bool = True,
+    subs: bool = True,
+    meta: bool = True,
+) -> None:
+    """Mux ``video_in``'s AV1 stream with a generated AAC audio track,
+    a text subtitle track (SubRip in MKV, tx3g in MP4), chapters and tag
+    metadata — the fixture the remux-parity tests feed through
+    apply/remove (reference behavior under test: parser.rs:189-253)."""
+    lib = load_native()
+    err = _errbuf()
+    flags = (1 if audio else 0) | (2 if subs else 0) | (4 if meta else 0)
+    if lib.grav_make_multistream(
+        video_in.encode(), out_path.encode(), flags, err, _ERRBUF_LEN
+    ) != 0:
+        raise IOError(f"multistream fixture failed: {err.value.decode()}")
 
 
 class Remuxer:

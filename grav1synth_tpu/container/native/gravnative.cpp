@@ -285,6 +285,290 @@ int grav_remux_finish(GravRemux* m) {
 }
 
 // ---------------------------------------------------------------------------
+// Container introspection (dispositions / metadata / chapters) — lets tests
+// prove the remux parity path (reference parser.rs:189-253) end-to-end.
+
+int grav_demux_disposition(GravDemux* d, int idx) {
+    if (idx < 0 || idx >= (int)d->fmt->nb_streams) return -1;
+    return d->fmt->streams[idx]->disposition;
+}
+
+// Serializes a metadata dict as "key=value\n..." lines. stream = -1 for the
+// container-level dict. Returns bytes written (excl. NUL), or -1.
+int grav_demux_meta(GravDemux* d, int stream, char* out, int outlen) {
+    AVDictionary* dict = nullptr;
+    if (stream < 0) {
+        dict = d->fmt->metadata;
+    } else if (stream < (int)d->fmt->nb_streams) {
+        dict = d->fmt->streams[stream]->metadata;
+    } else {
+        return -1;
+    }
+    std::string buf;
+    const AVDictionaryEntry* e = nullptr;
+    while ((e = av_dict_get(dict, "", e, AV_DICT_IGNORE_SUFFIX))) {
+        buf += e->key;
+        buf += '=';
+        buf += e->value;
+        buf += '\n';
+    }
+    int n = (int)buf.size();
+    if (n >= outlen) n = outlen - 1;
+    std::memcpy(out, buf.data(), (size_t)n);
+    out[n] = '\0';
+    return n;
+}
+
+int grav_demux_chapter_count(GravDemux* d) { return (int)d->fmt->nb_chapters; }
+
+int grav_demux_chapter(GravDemux* d, int i, int64_t* start_ms, int64_t* end_ms,
+                       char* title, int titlelen) {
+    if (i < 0 || i >= (int)d->fmt->nb_chapters) return -1;
+    AVChapter* c = d->fmt->chapters[i];
+    AVRational ms = {1, 1000};
+    *start_ms = av_rescale_q(c->start, c->time_base, ms);
+    *end_ms = av_rescale_q(c->end, c->time_base, ms);
+    const AVDictionaryEntry* t = av_dict_get(c->metadata, "title", nullptr, 0);
+    const char* s = t ? t->value : "";
+    int n = (int)std::strlen(s);
+    if (n >= titlelen) n = titlelen - 1;
+    std::memcpy(title, s, (size_t)n);
+    title[n] = '\0';
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Multi-stream fixture builder: muxes the video stream of `video_in`
+// together with a freshly-encoded AAC audio track, a text subtitle track,
+// chapters and tag metadata into `out_path` (MKV or MP4 by extension).
+// Exists so tests can prove the remux path preserves every non-video
+// stream byte-for-byte (reference parity target parser.rs:189-253) —
+// the image ships no ffmpeg binary to build such fixtures with.
+// flags: bit0 = audio, bit1 = subtitles, bit2 = chapters+metadata.
+
+int grav_make_multistream(const char* video_in, const char* out_path,
+                          int flags, char* err, int errlen) {
+    AVFormatContext* in = nullptr;
+    AVFormatContext* out = nullptr;
+    AVCodecContext* aenc = nullptr;
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* af = nullptr;
+    int ret = 0;
+    auto fail = [&](const char* what, int rc) {
+        set_averr(err, errlen, what, rc);
+        if (aenc) avcodec_free_context(&aenc);
+        if (af) av_frame_free(&af);
+        av_packet_free(&pkt);
+        if (in) avformat_close_input(&in);
+        if (out) {
+            if (out->pb && !(out->oformat->flags & AVFMT_NOFILE))
+                avio_closep(&out->pb);
+            avformat_free_context(out);
+        }
+        return -1;
+    };
+    if ((ret = avformat_open_input(&in, video_in, nullptr, nullptr)) < 0)
+        return fail("open_input", ret);
+    if ((ret = avformat_find_stream_info(in, nullptr)) < 0)
+        return fail("find_stream_info", ret);
+    int vidx = av_find_best_stream(in, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (vidx < 0) return fail("no video stream", vidx);
+    AVStream* ivs = in->streams[vidx];
+    double dur_s = 1.0;
+    if (ivs->duration > 0)
+        dur_s = ivs->duration * av_q2d(ivs->time_base);
+    else if (in->duration > 0)
+        dur_s = in->duration / (double)AV_TIME_BASE;
+    if (dur_s < 0.25) dur_s = 0.25;
+
+    if ((ret = avformat_alloc_output_context2(&out, nullptr, nullptr,
+                                              out_path)) < 0 || !out)
+        return fail("alloc_output", ret);
+    bool is_mp4 = std::strcmp(out->oformat->name, "mp4") == 0 ||
+                  std::strncmp(out->oformat->name, "mov", 3) == 0;
+
+    // video: stream copy
+    AVStream* ovs = avformat_new_stream(out, nullptr);
+    if (!ovs) return fail("new_stream video", -1);
+    avcodec_parameters_copy(ovs->codecpar, ivs->codecpar);
+    ovs->codecpar->codec_tag = 0;
+    ovs->time_base = ivs->time_base;
+    ovs->avg_frame_rate = ivs->avg_frame_rate;
+    if (flags & 4)
+        av_dict_set(&ovs->metadata, "language", "und", 0);
+
+    // audio: AAC mono 48 kHz (the native encoder every libavcodec has)
+    AVStream* oas = nullptr;
+    if (flags & 1) {
+        const AVCodec* ac = avcodec_find_encoder(AV_CODEC_ID_AAC);
+        if (!ac) return fail("no AAC encoder", -1);
+        aenc = avcodec_alloc_context3(ac);
+        aenc->sample_rate = 48000;
+        av_channel_layout_default(&aenc->ch_layout, 1);
+        aenc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+        aenc->bit_rate = 64000;
+        aenc->time_base = {1, 48000};
+        if (out->oformat->flags & AVFMT_GLOBALHEADER)
+            aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+        if ((ret = avcodec_open2(aenc, ac, nullptr)) < 0)
+            return fail("aac open", ret);
+        oas = avformat_new_stream(out, nullptr);
+        if (!oas) return fail("new_stream audio", -1);
+        avcodec_parameters_from_context(oas->codecpar, aenc);
+        oas->time_base = aenc->time_base;
+        oas->disposition = AV_DISPOSITION_DEFAULT;
+        if (flags & 4)
+            av_dict_set(&oas->metadata, "language", "eng", 0);
+    }
+
+    // subtitles: SubRip for MKV, mov_text (tx3g) for MP4 — both carry
+    // their cue payloads as raw packet bytes, no encoder needed
+    AVStream* oss = nullptr;
+    if (flags & 2) {
+        oss = avformat_new_stream(out, nullptr);
+        if (!oss) return fail("new_stream subs", -1);
+        oss->codecpar->codec_type = AVMEDIA_TYPE_SUBTITLE;
+        oss->codecpar->codec_id =
+            is_mp4 ? AV_CODEC_ID_MOV_TEXT : AV_CODEC_ID_SUBRIP;
+        oss->time_base = {1, 1000};
+        oss->disposition = AV_DISPOSITION_FORCED;
+        if (flags & 4)
+            av_dict_set(&oss->metadata, "language", "deu", 0);
+        if (is_mp4) {
+            // minimal tx3g sample-description extradata the mov muxer
+            // embeds: display flags, justification, bg color, default
+            // text box, style record (per 3GPP TS 26.245)
+            static const uint8_t tx3g[] = {
+                0, 0, 0, 0,              // displayFlags
+                1, 0xff,                 // justification h/v
+                0, 0, 0, 0,              // background rgba
+                0, 0, 0, 0, 0, 0, 0, 0,  // default text box
+                0, 0,                    // start char
+                0, 0,                    // end char
+                0, 1,                    // font id
+                0,                       // face style
+                18,                      // font size
+                255, 255, 255, 255,      // fg rgba
+            };
+            oss->codecpar->extradata =
+                (uint8_t*)av_mallocz(sizeof(tx3g) + AV_INPUT_BUFFER_PADDING_SIZE);
+            std::memcpy(oss->codecpar->extradata, tx3g, sizeof(tx3g));
+            oss->codecpar->extradata_size = sizeof(tx3g);
+        }
+    }
+
+    if (flags & 4) {
+        av_dict_set(&out->metadata, "title", "grav1synth multistream fixture", 0);
+        av_dict_set(&out->metadata, "comment", "remux parity proof", 0);
+        int64_t half_ms = (int64_t)(dur_s * 500);
+        for (int i = 0; i < 2; i++) {
+            AVChapter* ch = (AVChapter*)av_mallocz(sizeof(AVChapter));
+            ch->id = i + 1;
+            ch->time_base = {1, 1000};
+            ch->start = i * half_ms;
+            ch->end = (i + 1) * half_ms;
+            av_dict_set(&ch->metadata, "title", i ? "part two" : "part one", 0);
+            av_dynarray_add(&out->chapters, (int*)&out->nb_chapters, ch);
+        }
+    }
+
+    if (!(out->oformat->flags & AVFMT_NOFILE)) {
+        if ((ret = avio_open(&out->pb, out_path, AVIO_FLAG_WRITE)) < 0)
+            return fail("avio_open", ret);
+    }
+    if ((ret = avformat_write_header(out, nullptr)) < 0)
+        return fail("write_header", ret);
+
+    // video packets (stream copy)
+    while (av_read_frame(in, pkt) >= 0) {
+        if (pkt->stream_index != vidx) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        pkt->stream_index = ovs->index;
+        av_packet_rescale_ts(pkt, ivs->time_base, ovs->time_base);
+        if ((ret = av_interleaved_write_frame(out, pkt)) < 0)
+            return fail("write video", ret);
+    }
+
+    // audio: two-tone sine so the track has real content
+    if (oas) {
+        af = av_frame_alloc();
+        af->format = AV_SAMPLE_FMT_FLTP;
+        af->sample_rate = 48000;
+        av_channel_layout_default(&af->ch_layout, 1);
+        af->nb_samples = aenc->frame_size > 0 ? aenc->frame_size : 1024;
+        if ((ret = av_frame_get_buffer(af, 0)) < 0)
+            return fail("audio buffer", ret);
+        int64_t total = (int64_t)(dur_s * 48000);
+        int64_t done = 0;
+        auto drain = [&]() -> int {
+            int rc;
+            while ((rc = avcodec_receive_packet(aenc, pkt)) >= 0) {
+                pkt->stream_index = oas->index;
+                av_packet_rescale_ts(pkt, aenc->time_base, oas->time_base);
+                rc = av_interleaved_write_frame(out, pkt);
+                if (rc < 0) return rc;
+            }
+            return (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) ? 0 : rc;
+        };
+        while (done < total) {
+            av_frame_make_writable(af);
+            float* s = (float*)af->data[0];
+            for (int i = 0; i < af->nb_samples; i++) {
+                double t = (done + i) / 48000.0;
+                s[i] = (float)(0.25 * std::sin(2 * M_PI * 440 * t) +
+                               0.1 * std::sin(2 * M_PI * 1000 * t));
+            }
+            af->pts = done;
+            done += af->nb_samples;
+            if ((ret = avcodec_send_frame(aenc, af)) < 0)
+                return fail("aac send", ret);
+            if ((ret = drain()) < 0) return fail("aac write", ret);
+        }
+        avcodec_send_frame(aenc, nullptr);
+        if ((ret = drain()) < 0) return fail("aac flush", ret);
+    }
+
+    // subtitle cues (raw payloads)
+    if (oss) {
+        const char* cues[2] = {"Hello from cue one", "Second forced cue"};
+        int64_t dur_ms = (int64_t)(dur_s * 1000);
+        for (int i = 0; i < 2; i++) {
+            std::string payload;
+            if (is_mp4) {
+                uint16_t len = (uint16_t)std::strlen(cues[i]);
+                payload.push_back((char)(len >> 8));
+                payload.push_back((char)(len & 0xff));
+                payload += cues[i];
+            } else {
+                payload = cues[i];
+            }
+            av_packet_unref(pkt);
+            if (av_new_packet(pkt, (int)payload.size()) < 0)
+                return fail("sub packet", -1);
+            std::memcpy(pkt->data, payload.data(), payload.size());
+            pkt->stream_index = oss->index;
+            pkt->pts = pkt->dts = i * (dur_ms / 2);
+            pkt->duration = dur_ms / 4;
+            pkt->flags = AV_PKT_FLAG_KEY;
+            if ((ret = av_interleaved_write_frame(out, pkt)) < 0)
+                return fail("write subs", ret);
+        }
+    }
+
+    if ((ret = av_write_trailer(out)) < 0) return fail("write_trailer", ret);
+    if (aenc) avcodec_free_context(&aenc);
+    if (af) av_frame_free(&af);
+    av_packet_free(&pkt);
+    avformat_close_input(&in);
+    if (out->pb && !(out->oformat->flags & AVFMT_NOFILE))
+        avio_closep(&out->pb);
+    avformat_free_context(out);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Decoder (libdav1d by default; apply_grain toggleable -> grain oracle)
 
 typedef struct GravDecoder {
