@@ -87,15 +87,26 @@ def measure_tpu_fps(params=None) -> float:
     # output, so the device must fully execute each batch in sequence.
     # best-of-3 repeats filter remote-runtime scheduling noise; the
     # per-run values are returned so run-to-run spread is recorded.
+    # GRAV1_PROFILE=<logdir> captures an xprof trace of the timed
+    # region (recipe in ROADMAP.md).
+    import contextlib
+
+    profile_dir = os.environ.get("GRAV1_PROFILE")
+    prof = (
+        jax.profiler.trace(profile_dir)
+        if profile_dir
+        else contextlib.nullcontext()
+    )
     runs = []
-    for _ in range(3):
-        t0 = time.time()
-        cur = y
-        for _ in range(N_ITERS):
-            cur = apply(cur)
-        _ = np.asarray(cur[0, :1, :8])  # sync
-        elapsed = time.time() - t0
-        runs.append(B * N_ITERS / elapsed)
+    with prof:
+        for _ in range(3):
+            t0 = time.time()
+            cur = y
+            for _ in range(N_ITERS):
+                cur = apply(cur)
+            _ = np.asarray(cur[0, :1, :8])  # sync
+            elapsed = time.time() - t0
+            runs.append(B * N_ITERS / elapsed)
     return max(runs), runs
 
 
@@ -229,6 +240,54 @@ def measure_host_rewrite_fps() -> float:
     return best
 
 
+def measure_diff_stats_fps():
+    """Device throughput of the diff pipeline's batched statistics
+    reduction (production path: DiffEstimator.diff_batch ->
+    batch_pair_stats_per_frame) at 1080p and 4K10, plus the compiled
+    program's temp-memory footprint at 4K as the memory check."""
+    import jax
+    import jax.numpy as jnp
+
+    from grav1synth_tpu.ops.diff_estimate import batch_pair_stats_per_frame
+
+    def run(h, w, b, bit_depth):
+        rng = np.random.default_rng(0)
+        maxv = (1 << bit_depth) - 1
+        sy = jnp.asarray(rng.integers(0, maxv, (b, h, w), dtype=np.int32))
+        dy = jnp.asarray(rng.integers(0, maxv, (b, h, w), dtype=np.int32))
+        sc = jnp.asarray(rng.integers(0, maxv, (b, h // 2, w // 2), dtype=np.int32))
+        dc = jnp.asarray(rng.integers(0, maxv, (b, h // 2, w // 2), dtype=np.int32))
+
+        def stats():
+            return batch_pair_stats_per_frame(
+                sy, dy, sc, dc, sc, dc, lag=2, bit_depth=bit_depth,
+                sub_x=1, sub_y=1, has_chroma=True,
+            )
+
+        jax.block_until_ready(stats())  # compile
+        best = 0.0
+        iters = 8
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(iters):
+                out = stats()
+                jax.block_until_ready(out)  # stats are tiny; sync each
+            best = max(best, b * iters / (time.time() - t0))
+        lowered = jax.jit(
+            lambda *a: batch_pair_stats_per_frame(
+                *a, lag=2, bit_depth=bit_depth, sub_x=1, sub_y=1,
+                has_chroma=True,
+            )
+        ).lower(sy, dy, sc, dc, sc, dc)
+        mem = lowered.compile().memory_analysis()
+        temp_mb = getattr(mem, "temp_size_in_bytes", 0) / 1e6
+        return best, temp_mb
+
+    fps_1080, _ = run(1080, 1920, 32, 8)
+    fps_4k, temp_mb_4k = run(2160, 3840, 16, 10)
+    return fps_1080, fps_4k, temp_mb_4k
+
+
 def main() -> None:
     result = {
         "metric": "4K10 grain apply throughput",
@@ -251,6 +310,13 @@ def main() -> None:
             result["host_rewrite_fps_1080p"] = round(measure_host_rewrite_fps(), 1)
         except Exception as e:
             result["host_rewrite_error"] = str(e)[:200]
+        try:
+            d1080, d4k, dmem = measure_diff_stats_fps()
+            result["diff_stats_fps_1080p"] = round(d1080, 1)
+            result["diff_stats_fps_4k10"] = round(d4k, 1)
+            result["diff_stats_temp_mb_4k10"] = round(dmem, 1)
+        except Exception as e:
+            result["diff_error"] = str(e)[:200]
         try:
             # the dav1d baseline is a host-side constant: measure once,
             # cache the number (delete .bench_cache to re-measure)

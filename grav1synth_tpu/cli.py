@@ -125,6 +125,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="source preprocessing, e.g. "
         '"crop:top=42;resize:width=1920,height=1080,alg=lanczos"',
     )
+    p.add_argument(
+        "--batch", type=int, default=16, help="frame pairs per device batch"
+    )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=1,
+        help="shard each batch's statistics reduction over N devices "
+        "(result is identical to --shards 1)",
+    )
 
     return ap
 
@@ -192,7 +202,8 @@ def main(argv=None) -> int:
         if os.path.abspath(args.source) == os.path.abspath(args.denoised):
             sys.exit("error: source and denoised cannot be the same file")
         segments = pipelines.diff(
-            args.source, args.denoised, args.output, args.filters
+            args.source, args.denoised, args.output, args.filters,
+            batch=args.batch, shards=args.shards,
         )
         print(f"Done, wrote grain table ({len(segments)} segments)")
     return 0

@@ -67,12 +67,32 @@ def _flat_mask(den: jnp.ndarray) -> jnp.ndarray:
     return mask
 
 
+# rows per normal-equation chunk: bounds the materialized (K, chunk)
+# design slab to ~16 MB at 4K so nothing spills; the MXU accumulates
+# ata across chunks
+_NE_CHUNK_ROWS = 128
+
+
 def _masked_normal_eqs(r, interior_mask, cols):
-    """cols: (K, h', w') predictors; returns (ata, atb, n)."""
-    k = cols.shape[0]
-    flat_cols = (cols * interior_mask).reshape(k, -1)
-    ata = flat_cols @ flat_cols.T
-    atb = flat_cols @ (r * interior_mask).reshape(-1)
+    """cols: K-element list/sequence of (h', w') predictor views;
+    returns (ata, atb, n).
+
+    Row-chunked MXU formulation: a whole-frame (K, N) design matrix
+    materializes multi-GB temporaries at 4K batch sizes (measured ~20
+    GB compiler temp for a 16-frame batch — off-chip spill), so the
+    stack is built ~128 rows at a time (~16 MB a slab) and each slab's
+    ata/atb matmul accumulates into the K x K result."""
+    k = len(cols)
+    hp, wp = r.shape
+    ata = jnp.zeros((k, k), jnp.float32)
+    atb = jnp.zeros((k,), jnp.float32)
+    for r0 in range(0, hp, _NE_CHUNK_ROWS):
+        r1 = min(r0 + _NE_CHUNK_ROWS, hp)
+        m = interior_mask[r0:r1]
+        slab = jnp.stack([c[r0:r1] for c in cols]).reshape(k, -1)
+        slab = slab * m.reshape(1, -1)
+        ata = ata + slab @ slab.T
+        atb = atb + slab @ (r[r0:r1] * m).reshape(-1)
     return ata, atb, jnp.sum(interior_mask)
 
 
@@ -114,7 +134,7 @@ def frame_pair_stats(
     def shifted(dr, dc):
         return r[pad + dr : h - pad + dr, pad + dc : w - pad + dc]
 
-    cols = jnp.stack([shifted(dr, dc) for dr, dc in offs])  # (K, h', w')
+    cols = [shifted(dr, dc) for dr, dc in offs]
     ata, atb, n_ar = _masked_normal_eqs(r0, interior, cols)
     bin_cnt, bin_sum, bin_sumsq = _binned_moments(den, r, mask, bit_depth)
     return dict(
@@ -161,10 +181,9 @@ def frame_pair_stats_chroma(
     def shifted(dr, dc):
         return rc[pad + dr : hc - pad + dr, pad + dc : wc - pad + dc]
 
-    cols = jnp.stack(
-        [shifted(dr, dc) for dr, dc in offs]
-        + [lavg[pad : hc - pad, pad : wc - pad]]
-    )  # (K+1, h', w')
+    cols = [shifted(dr, dc) for dr, dc in offs] + [
+        lavg[pad : hc - pad, pad : wc - pad]
+    ]
     ata, atb, n_ar = _masked_normal_eqs(r0, interior, cols)
     bin_cnt, bin_sum, bin_sumsq = _binned_moments(den_c, rc, mask, bit_depth)
     return dict(
@@ -256,13 +275,22 @@ def _curve_points(
 
 
 def _fit_params(
-    stats: _ChunkStats, lag: int, bit_depth: int, seed: int
+    stats: _ChunkStats, lag: int, bit_depth: int, seed: int,
+    unit_sigma=None,
 ) -> Optional[FilmGrainParams]:
     """Solve the chunk's model: luma + chroma AR coefficients and
     per-plane scaling curves (joint scaling_shift, as the syntax shares
-    one field across planes)."""
+    one field across planes).
+
+    ``unit_sigma``: optional (pattern_2d) -> float measuring the unit
+    pattern's sigma. The single-input estimator passes the same
+    high-pass its residuals went through, so the filter's attenuation
+    of THIS grain's spectral character cancels exactly out of the
+    scaling curve; diff leaves it None (plain std)."""
     if stats.frames == 0 or stats.y.n_ar < 1000:
         return None
+    if unit_sigma is None:
+        unit_sigma = lambda pat: float(pat.astype(np.float64).std())
     shift = 6  # ar_coeff_shift
     coded_y = _solve_coeffs(stats.y, shift)
     if coded_y is None:
@@ -303,16 +331,14 @@ def _fit_params(
         scaling_shift=8,
     )
     pat = grain_ref.generate_grain(probe, 8, False, 1, 1)
-    sigma_g = float(pat.luma[3:, 3:-3].astype(np.float64).std())
+    sigma_g = unit_sigma(pat.luma[3:, 3:-3])
     if sigma_g < 1e-3:
         return None
     sigma_g_cb = (
-        float(pat.cb[3:, 3:-3].astype(np.float64).std())
-        if coded_cb is not None else 0.0
+        unit_sigma(pat.cb[3:, 3:-3]) if coded_cb is not None else 0.0
     )
     sigma_g_cr = (
-        float(pat.cr[3:, 3:-3].astype(np.float64).std())
-        if coded_cr is not None else 0.0
+        unit_sigma(pat.cr[3:, 3:-3]) if coded_cr is not None else 0.0
     )
 
     # joint scaling_shift: every plane's curve must fit in 8 bits
@@ -411,6 +437,58 @@ def batch_pair_stats_chroma(
         )
     )(src_c, den_c, r_luma)
     return {k: jnp.sum(v, axis=0) for k, v in per.items()}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lag", "bit_depth", "sub_x", "sub_y", "has_chroma"),
+)
+def batch_pair_stats_per_frame(
+    sy, dy, sc, dc, sr, dr,
+    lag: int, bit_depth: int, sub_x: int, sub_y: int, has_chroma: bool,
+):
+    """One device dispatch reducing a whole (B, H, W) frame-pair batch
+    to PER-FRAME statistics (luma + both chroma planes together).
+
+    This is the production diff path: stats stay per-frame (a few
+    hundred floats each) so the host-side scene-cut/chunking logic in
+    DiffEstimator behaves exactly as in streaming mode, while the pixel
+    work — the part the reference spends its time on in its sequential
+    dual-decode loop (main.rs:432-521) — runs as one batched XLA
+    reduction. Returns (y_stats, cb_stats|None, cr_stats|None), each a
+    dict of arrays with leading batch dim."""
+    y = jax.vmap(lambda s, d: frame_pair_stats(s, d, lag, bit_depth))(sy, dy)
+    if not has_chroma:
+        return y, None, None
+    rl = (sy - dy).astype(jnp.float32)
+    stats_c = jax.vmap(
+        lambda s, d, r: frame_pair_stats_chroma(
+            s, d, r, lag, bit_depth, sub_x, sub_y
+        )
+    )
+    return y, stats_c(sc, dc, rl), stats_c(sr, dr, rl)
+
+
+def mesh_pair_stats_per_frame(
+    mesh, sy, dy, sc, dc, sr, dr, lag, bit_depth, sub_x, sub_y, has_chroma
+):
+    """batch_pair_stats_per_frame with the batch axis sharded over a
+    device mesh: each chip reduces its frame shard; the per-frame stats
+    come back tiny, so the gather is negligible. Pure-XLA computation,
+    so GSPMD partitions it from sharding annotations alone (no
+    shard_map needed); output tables are identical to the serial path
+    at any shard count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    args = [
+        None if a is None else jax.device_put(jnp.asarray(a, jnp.int32), shard)
+        for a in (sy, dy, sc, dc, sr, dr)
+    ]
+    return batch_pair_stats_per_frame(
+        *args, lag=lag, bit_depth=bit_depth, sub_x=sub_x, sub_y=sub_y,
+        has_chroma=has_chroma,
+    )
 
 
 def sharded_diff_stats(
@@ -571,6 +649,93 @@ class DiffEstimator:
         self._frame_idx += 1
         if self._frame_idx - self._chunk_start >= self.chunk_frames:
             self._flush_chunk()
+
+    def diff_batch(self, src_frames, den_frames, mesh=None) -> None:
+        """Feed a batch of frame pairs through ONE device dispatch.
+
+        ``src_frames``/``den_frames`` are sequences of per-frame plane
+        lists with uniform geometry. Per-frame statistics come back from
+        batch_pair_stats_per_frame, then run through the same sequential
+        scene-cut/chunking logic as diff_frame — output tables are
+        identical to the streaming path; only the dispatch granularity
+        changes (the reference processes one pair per loop iteration,
+        main.rs:432-521). ``mesh`` shards the batch axis across devices."""
+        if not src_frames:
+            return
+        nshift = self.src_bd - self.den_bd
+
+        def norm(p):
+            if nshift > 0:
+                return p << nshift
+            if nshift < 0:
+                return p >> -nshift
+            return p
+
+        b = len(src_frames)
+        sy = np.stack([np.asarray(f[0], np.int32) for f in src_frames])
+        dy = norm(np.stack([np.asarray(f[0], np.int32) for f in den_frames]))
+        if dy.shape != sy.shape:
+            raise ValueError(
+                f"source/denoised dimensions differ: {sy.shape} vs {dy.shape}"
+            )
+        has_chroma = len(src_frames[0]) >= 3 and len(den_frames[0]) >= 3
+        sc = dc = sr = dr = None
+        sub_x = sub_y = 0
+        if has_chroma:
+            sc = np.stack([np.asarray(f[1], np.int32) for f in src_frames])
+            sr = np.stack([np.asarray(f[2], np.int32) for f in src_frames])
+            dc = norm(np.stack([np.asarray(f[1], np.int32) for f in den_frames]))
+            dr = norm(np.stack([np.asarray(f[2], np.int32) for f in den_frames]))
+            if dc.shape != sc.shape or dr.shape != sr.shape:
+                has_chroma = False
+                sc = dc = sr = dr = None
+            else:
+                hc, wc = sc.shape[1:]
+                sub_y = 1 if hc < sy.shape[1] else 0
+                sub_x = 1 if wc < sy.shape[2] else 0
+
+        if mesh is not None:
+            n = mesh.devices.size
+            pad = (-b) % n
+            if pad:
+                def padded(a):
+                    return (
+                        None if a is None
+                        else np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+                    )
+                sy, dy, sc, dc, sr, dr = map(padded, (sy, dy, sc, dc, sr, dr))
+            y_st, cb_st, cr_st = mesh_pair_stats_per_frame(
+                mesh, sy, dy, sc, dc, sr, dr,
+                self.lag, self.src_bd, sub_x, sub_y, has_chroma,
+            )
+        else:
+            y_st, cb_st, cr_st = batch_pair_stats_per_frame(
+                jnp.asarray(sy), jnp.asarray(dy),
+                None if sc is None else jnp.asarray(sc),
+                None if dc is None else jnp.asarray(dc),
+                None if sr is None else jnp.asarray(sr),
+                None if dr is None else jnp.asarray(dr),
+                lag=self.lag, bit_depth=self.src_bd,
+                sub_x=sub_x, sub_y=sub_y, has_chroma=has_chroma,
+            )
+        y_st = {k: np.asarray(v) for k, v in y_st.items()}
+        if has_chroma:
+            cb_st = {k: np.asarray(v) for k, v in cb_st.items()}
+            cr_st = {k: np.asarray(v) for k, v in cr_st.items()}
+        for i in range(b):
+            stats = {k: v[i] for k, v in y_st.items()}
+            sigma = _frame_sigma(stats)
+            if self._scene_cut(sigma):
+                self._flush_chunk()
+            self._chunk_sigmas.append(sigma)
+            self._chunk.y.add(stats)
+            if has_chroma:
+                self._chunk.cb.add({k: v[i] for k, v in cb_st.items()})
+                self._chunk.cr.add({k: v[i] for k, v in cr_st.items()})
+            self._chunk.frames += 1
+            self._frame_idx += 1
+            if self._frame_idx - self._chunk_start >= self.chunk_frames:
+                self._flush_chunk()
 
     def add_stats(
         self, y_stats, cb_stats=None, cr_stats=None, frames: int = 1

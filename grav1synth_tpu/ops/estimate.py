@@ -2,14 +2,24 @@
 
 Capability superset of the reference's feature-gated, half-finished
 ``estimate`` pipeline (grav1synth src/main.rs:534-608 writes raw
-per-frame luma estimates and leaves table building commented out):
-noise sigma is measured from the high-frequency residual of flat
-blocks — a cross-shaped Laplacian whose response to smooth signal is
-near zero — with a median-based robust aggregate per intensity bin,
-and the binned curve becomes lag-0 grain parameters / a grain table.
+per-frame luma estimates and leaves table building commented out —
+this finishes it): a wide separable box blur acts as the
+pseudo-denoiser, and its flat-block residual feeds the SAME lag-window
+autocovariance + intensity-binned moment reduction the diff pipeline
+uses (ops.diff_estimate), so the fit recovers real AR character
+(ar_coeff_lag >= 1), not just a sigma curve.
 
-Per-frame math is one jitted reduction; suitable for frame-sharded
-meshes like diff_estimate.
+Bias control: the residual r = (delta - h) * noise is the grain
+high-passed by the blur. The AR normal equations see that filtered
+process (small, accepted bias at short lags), while the scaling curve
+is exactly de-biased: _fit_params normalizes each curve by the unit
+pattern's sigma, and we pass it the sigma of the unit pattern AFTER
+the same high-pass, so the filter's attenuation of this grain's
+spectral character cancels out of the curve entirely.
+
+Per-frame math is one jitted reduction; frames batch through
+batch_self_stats (one dispatch per batch, per-frame outputs) exactly
+like the diff pipeline.
 """
 
 from __future__ import annotations
@@ -24,113 +34,153 @@ import numpy as np
 from ..obu.types import FilmGrainParams, GrainTableSegment
 from ..tables.aggregate import packet_bounds
 from . import grain_ref
+from .diff_estimate import (
+    _binned_moments,
+    _ChunkStats,
+    _fit_params,
+    _flat_mask,
+    _frame_sigma,
+    _lag_offsets,
+    _masked_normal_eqs,
+    _PlaneStats,
+)
 
-NUM_BINS = 32
-BLOCKSZ = 16
-# E[|L * n|] for unit-sigma gaussian n with the 5-tap Laplacian below:
-# L has weights (4, -1, -1, -1, -1)/sqrt(20); |response| of unit noise
-# is half-normal with E|x| = sqrt(2/pi)
-_HALF_NORMAL = float(np.sqrt(2.0 / np.pi))
+BLUR = 9  # pseudo-denoiser box width: wide enough that the high-pass
+# barely touches lags 0..3, where the AR window lives
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",))
-def frame_noise_stats(y: jnp.ndarray, bit_depth: int):
-    """One frame's flat-block high-frequency statistics.
+def _box_blur(f: jnp.ndarray) -> jnp.ndarray:
+    """Separable BLUR x BLUR box mean, SAME padding (edges biased; the
+    stats mask excludes the edge band)."""
+    x = f[None, None]
+    kr = jnp.full((1, 1, 1, BLUR), 1.0 / BLUR, jnp.float32)
+    kc = jnp.full((1, 1, BLUR, 1), 1.0 / BLUR, jnp.float32)
+    x = jax.lax.conv_general_dilated(x, kr, (1, 1), "SAME")
+    x = jax.lax.conv_general_dilated(x, kc, (1, 1), "SAME")
+    return x[0, 0]
 
-    Returns (bin_cnt, bin_abs_sum) of normalized Laplacian responses
-    plus a scalar flat fraction."""
+
+def highpass_np(pat: np.ndarray) -> float:
+    """sigma of (delta - h) * pat on host — the unit_sigma measure that
+    cancels the blur's attenuation out of the fitted scaling curve."""
+    f = pat.astype(np.float64)
+    c = np.cumsum(np.cumsum(np.pad(f, ((1, 0), (1, 0))), 0), 1)
+    k = BLUR
+    box = (
+        c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+    ) / (k * k)
+    r = f[k // 2 : -(k // 2), k // 2 : -(k // 2)] - box
+    return float(r.std())
+
+
+@functools.partial(jax.jit, static_argnames=("lag", "bit_depth"))
+def frame_self_stats(y: jnp.ndarray, lag: int, bit_depth: int):
+    """Reduce one luma frame to diff-style sufficient statistics using
+    its own blur residual: (ata, atb, n_ar) lag-window normal equations
+    plus (bin_cnt, bin_sum, bin_sumsq) binned on the blurred intensity
+    (the clean-signal proxy), flat blocks only."""
     h, w = y.shape
     maxval = (1 << bit_depth) - 1
     f = y.astype(jnp.float32)
-    lap = (
-        4 * f[1:-1, 1:-1]
-        - f[:-2, 1:-1]
-        - f[2:, 1:-1]
-        - f[1:-1, :-2]
-        - f[1:-1, 2:]
-    ) / np.sqrt(20.0)
+    sm = _box_blur(f)
+    den = jnp.clip(jnp.round(sm), 0, maxval).astype(jnp.int32)
+    r = f - sm
+    mask = _flat_mask(den)
+    edge = BLUR // 2
+    em = jnp.zeros((h, w), jnp.float32).at[edge:-edge, edge:-edge].set(1.0)
+    mask = mask * em
 
-    # flat blocks: low local signal activity measured on a 2-pixel
-    # downsample (noise cancels, structure remains)
-    ds = (f[0::2, 0::2] + f[1::2, 1::2] + f[0::2, 1::2] + f[1::2, 0::2]) / 4
-    gx = jnp.abs(jnp.diff(ds, axis=1))[:-1, :]
-    gy = jnp.abs(jnp.diff(ds, axis=0))[:, :-1]
-    act = gx + gy
-    hb, wb = act.shape[0] // (BLOCKSZ // 2), act.shape[1] // (BLOCKSZ // 2)
-    act_b = act[: hb * BLOCKSZ // 2, : wb * BLOCKSZ // 2].reshape(
-        hb, BLOCKSZ // 2, wb, BLOCKSZ // 2
-    ).mean(axis=(1, 3))
-    thr = jnp.percentile(act_b, 40.0) * 1.5 + 1e-3
-    flat_b = (act_b < thr).astype(jnp.float32)
-    mask_full = jnp.repeat(jnp.repeat(flat_b, BLOCKSZ, 0), BLOCKSZ, 1)
-    mask = jnp.zeros((h - 2, w - 2), jnp.float32)
-    mh = min(mask_full.shape[0], h - 2)
-    mw = min(mask_full.shape[1], w - 2)
-    mask = mask.at[:mh, :mw].set(mask_full[:mh, :mw])
+    offs = _lag_offsets(lag)
+    pad = lag
+    interior = mask[pad : h - pad, pad : w - pad]
+    r0 = r[pad : h - pad, pad : w - pad]
 
-    bins = jnp.clip(y[1:-1, 1:-1] * NUM_BINS // (maxval + 1), 0, NUM_BINS - 1)
-    onehot = (bins[..., None] == jnp.arange(NUM_BINS)).astype(jnp.float32)
-    m = mask[..., None] * onehot
-    bin_cnt = jnp.sum(m, axis=(0, 1))
-    bin_abs = jnp.sum(m * jnp.abs(lap)[..., None], axis=(0, 1))
-    return bin_cnt, bin_abs, jnp.mean(flat_b)
+    def shifted(dr, dc):
+        return r[pad + dr : h - pad + dr, pad + dc : w - pad + dc]
+
+    cols = [shifted(dr, dc) for dr, dc in offs]
+    ata, atb, n_ar = _masked_normal_eqs(r0, interior, cols)
+    bin_cnt, bin_sum, bin_sumsq = _binned_moments(den, r, mask, bit_depth)
+    return dict(
+        ata=ata, atb=atb, n_ar=n_ar, bin_cnt=bin_cnt, bin_sum=bin_sum,
+        bin_sumsq=bin_sumsq,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("lag", "bit_depth"))
+def batch_self_stats(y: jnp.ndarray, lag: int, bit_depth: int):
+    """(B, H, W) -> per-frame statistics in one dispatch."""
+    return jax.vmap(lambda f: frame_self_stats(f, lag, bit_depth))(y)
 
 
 class NoiseEstimator:
-    """Streaming single-input estimator -> per-frame sigmas + a table."""
+    """Streaming single-input estimator -> per-frame sigmas + a table.
 
-    def __init__(self, fps: Tuple[int, int], bit_depth: int = 8, seed: int = 7391):
+    finish() fits AR coefficients (lag >= 1) and a scaling curve with
+    the diff pipeline's solver; when the AR fit degenerates (e.g. all
+    residual energy masked away) it falls back to a lag-0 sigma-curve
+    table so the pipeline still completes — the reference never got
+    this far at all (its segment building is commented out,
+    main.rs:602-605)."""
+
+    def __init__(
+        self,
+        fps: Tuple[int, int],
+        bit_depth: int = 8,
+        seed: int = 7391,
+        lag: int = 2,
+    ):
         self.fps = fps
         self.bit_depth = bit_depth
         self.seed = seed
+        self.lag = lag
         self.per_frame_sigma: List[float] = []
-        self._cnt = np.zeros(NUM_BINS)
-        self._abs = np.zeros(NUM_BINS)
-        self._frames = 0
+        self._k = len(_lag_offsets(lag))
+        self._chunk = _ChunkStats.zero(self._k)
 
-    def push_frame(self, y) -> float:
-        """Returns this frame's overall luma noise sigma estimate
-        (8-bit units)."""
-        cnt, absum, _ = frame_noise_stats(jnp.asarray(y, jnp.int32), self.bit_depth)
-        cnt = np.asarray(cnt, np.float64)
-        absum = np.asarray(absum, np.float64)
-        self._cnt += cnt
-        self._abs += absum
-        self._frames += 1
-        tot = cnt.sum()
-        scale8 = 1 << (self.bit_depth - 8)
-        sigma = (absum.sum() / max(tot, 1)) / _HALF_NORMAL / scale8
+    def _ingest(self, stats) -> float:
+        sigma = _frame_sigma(stats) / (1 << (self.bit_depth - 8))
         self.per_frame_sigma.append(float(sigma))
+        self._chunk.y.add(stats)
+        self._chunk.frames += 1
         return float(sigma)
 
-    def finish(self) -> List[GrainTableSegment]:
-        if self._frames == 0:
-            return []
+    def push_frame(self, y) -> float:
+        """Returns this frame's flat-area residual sigma (8-bit units)."""
+        stats = frame_self_stats(
+            jnp.asarray(y, jnp.int32), self.lag, self.bit_depth
+        )
+        return self._ingest({k: np.asarray(v) for k, v in stats.items()})
+
+    def push_batch(self, frames) -> None:
+        """One device dispatch for a batch of luma frames."""
+        if not len(frames):
+            return
+        y = jnp.asarray(np.stack([np.asarray(f, np.int32) for f in frames]))
+        per = batch_self_stats(y, self.lag, self.bit_depth)
+        per = {k: np.asarray(v) for k, v in per.items()}
+        for i in range(len(frames)):
+            self._ingest({k: v[i] for k, v in per.items()})
+
+    def _fallback_lag0(self) -> List[GrainTableSegment]:
+        """Sigma-curve-only table from the bin moments (pre-AR-fit
+        behavior, kept as the degenerate-fit escape hatch)."""
         scale8 = 1 << (self.bit_depth - 8)
-        valid = self._cnt > 512
-        sigma = np.where(
-            valid, self._abs / np.maximum(self._cnt, 1) / _HALF_NORMAL, 0.0
-        ) / scale8
+        sigma, valid = self._chunk.y.sigma_bins(scale8, min_count=512.0)
         if not valid.any() or sigma[valid].max() < 0.1:
             return []
-        # lag-0 unit pattern sigma at 8-bit
         probe = FilmGrainParams(grain_seed=self.seed, scaling_points_y=[(0, 1)])
         pat = grain_ref.generate_grain(probe, 8, True, 1, 1)
-        sigma_g = float(pat.luma[3:, 3:-3].astype(np.float64).std())
+        sigma_g = highpass_np(pat.luma[3:, 3:-3])
         for shift in range(8, 12):
             if (sigma * (1 << shift) / sigma_g).max() <= 255 or shift == 11:
                 break
         vals = np.clip(sigma * (1 << shift) / sigma_g, 0, 255)
-        occ = np.nonzero(valid)[0]
-        take = occ if len(occ) <= 14 else occ[
-            np.round(np.linspace(0, len(occ) - 1, 14)).astype(int)
-        ]
-        pts = []
-        for b in take:
-            x = int(min(255, round((b + 0.5) * 256 / NUM_BINS)))
-            if pts and x <= pts[-1][0]:
-                continue
-            pts.append((x, int(round(vals[b]))))
+        from .diff_estimate import _curve_points
+
+        pts = _curve_points(vals, valid, 14)
+        if not pts:
+            return []
         params = FilmGrainParams(
             grain_seed=self.seed,
             scaling_points_y=pts,
@@ -141,5 +191,18 @@ class NoiseEstimator:
             overlap_flag=True,
         )
         start, _ = packet_bounds(0, *self.fps)
-        _, end = packet_bounds(self._frames - 1, *self.fps)
+        _, end = packet_bounds(self._chunk.frames - 1, *self.fps)
+        return [GrainTableSegment(start, end, params)]
+
+    def finish(self) -> List[GrainTableSegment]:
+        if self._chunk.frames == 0:
+            return []
+        params = _fit_params(
+            self._chunk, self.lag, self.bit_depth, self.seed,
+            unit_sigma=highpass_np,
+        )
+        if params is None:
+            return self._fallback_lag0()
+        start, _ = packet_bounds(0, *self.fps)
+        _, end = packet_bounds(self._chunk.frames - 1, *self.fps)
         return [GrainTableSegment(start, end, params)]

@@ -426,14 +426,37 @@ def diff(
     output_path: str,
     filters: Optional[str] = None,
     progress: bool = True,
+    batch: int = 16,
+    shards: int = 1,
 ) -> List[GrainTableSegment]:
     """Estimate a grain table from a grainy source and a denoised copy
-    (both decoded to pixels via the shim's dav1d path)."""
+    (both decoded to pixels via the shim's dav1d path).
+
+    The per-pixel statistics reduction — the work the reference's
+    sequential dual-decode loop spends its time on (main.rs:432-521) —
+    runs batched on device: ``batch`` frame pairs per dispatch through
+    ops.diff_estimate.batch_pair_stats_per_frame, with the batch axis
+    sharded over a ``shards``-device mesh when requested. Output tables
+    are identical at any (batch, shards) setting."""
     from .container.ffshim import Decoder
     from .ops.diff_estimate import DiffEstimator
     from .utils.filters import FilterChain
 
     chain = FilterChain.parse(filters) if filters else None
+    mesh = None
+    if shards > 1:
+        from .parallel.mesh import make_mesh
+        import jax
+
+        n_dev = len(jax.devices())
+        if shards > n_dev:
+            log.warning(
+                "--shards %d exceeds %d available devices; using %d",
+                shards, n_dev, n_dev,
+            )
+            shards = n_dev
+        if shards > 1:
+            mesh = make_mesh(shards)
 
     with VideoFile(source_path) as vs, VideoFile(denoised_path) as vd:
         fps = vs.fps
@@ -449,6 +472,16 @@ def diff(
         est: Optional[DiffEstimator] = None
         bar = Progress(total=vs.nb_frames or None, enabled=progress, unit="fr")
         n = 0
+        pend_src: list = []
+        pend_den: list = []
+        pend_geom = None
+
+        def flush():
+            if pend_src:
+                est.diff_batch(pend_src, pend_den, mesh=mesh)
+                pend_src.clear()
+                pend_den.clear()
+
         while True:
             sf = next(src_it, None)
             df = next(den_it, None)
@@ -468,9 +501,19 @@ def diff(
                     source_bit_depth=sf.bit_depth,
                     denoised_bit_depth=df.bit_depth,
                 )
-            est.diff_frame(src_planes, df.planes)
+            geom = tuple(p.shape for p in src_planes) + tuple(
+                p.shape for p in df.planes
+            )
+            if pend_geom is not None and geom != pend_geom:
+                flush()
+            pend_geom = geom
+            pend_src.append(list(src_planes))
+            pend_den.append(list(df.planes))
+            if len(pend_src) >= batch:
+                flush()
             n += 1
             bar.step()
+        flush()
         bar.done()
         segments = est.finish() if est is not None else []
         dump_table(segments, output_path)
@@ -674,8 +717,10 @@ def estimate(
 ) -> List[GrainTableSegment]:
     """Single-input noise estimation (experimental; completes the
     reference's half-finished unstable pipeline, main.rs:534-608):
-    writes a grain table, and optionally the raw per-frame sigma
-    estimates the reference emitted."""
+    writes a grain table — AR-aware, via the diff pipeline's solver on
+    blur-residual statistics — and optionally the raw per-frame sigma
+    estimates the reference emitted. Frames batch through one device
+    dispatch per 16 (ops.estimate.batch_self_stats)."""
     from .container.ffshim import Decoder
     from .ops.estimate import NoiseEstimator
 
@@ -683,13 +728,22 @@ def estimate(
         dec = Decoder("libdav1d", apply_grain=True)
         est: Optional[NoiseEstimator] = None
         bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
+        pend: list = []
         for frame in dec.decode_all(
             (_decodable(p), p.pts) for p in vf.packets() if p.is_video
         ):
             if est is None:
                 est = NoiseEstimator(vf.fps, frame.bit_depth)
-            est.push_frame(frame.planes[0])
+            if pend and pend[-1].shape != frame.planes[0].shape:
+                est.push_batch(pend)
+                pend.clear()
+            pend.append(frame.planes[0])
+            if len(pend) >= 16:
+                est.push_batch(pend)
+                pend.clear()
             bar.step()
+        if est is not None and pend:
+            est.push_batch(pend)
         bar.done()
     segments = est.finish() if est is not None else []
     dump_table(segments, output_path)

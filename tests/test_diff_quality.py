@@ -216,3 +216,99 @@ class TestShardedDiff:
         t2 = est2.finish()
         assert len(t1) == len(t2) == 1
         assert t1[0].params.equal_ignoring_seed(t2[0].params)
+
+
+class TestBatchedDiff:
+    """The production diff path: batch_pair_stats_per_frame feeding
+    DiffEstimator.diff_batch must reproduce the streaming estimator's
+    tables exactly — including scene-cut chunking — at any batch size
+    and shard count (pipelines.diff contract)."""
+
+    def _tables(self, grainy, clean, feed):
+        est = DiffEstimator(
+            (24, 1), chunk_frames=9, min_chunk_frames=4, sigma_jump=0.25
+        )
+        feed(est, grainy, clean)
+        return est.finish()
+
+    def _clip_with_scene_change(self):
+        params = film_params()
+        clean = film_like_clip(n=20)
+        grainy = inject_grain(clean, params)
+        # second half: much stronger grain (a grade change) so the
+        # scene-cut logic actually fires mid-stream
+        import dataclasses
+
+        strong = dataclasses.replace(
+            params,
+            scaling_points_y=[(0, 90), (128, 110), (255, 80)],
+        )
+        grainy[10:] = inject_grain(clean[10:], strong)
+        return grainy, clean
+
+    def test_batch_matches_streaming(self):
+        grainy, clean = self._clip_with_scene_change()
+
+        def stream(est, g, c):
+            for gf, cf in zip(g, c):
+                est.diff_frame(list(gf), list(cf))
+
+        def batched(est, g, c):
+            for i in range(0, len(g), 6):
+                est.diff_batch(
+                    [list(f) for f in g[i : i + 6]],
+                    [list(f) for f in c[i : i + 6]],
+                )
+
+        t1 = self._tables(grainy, clean, stream)
+        t2 = self._tables(grainy, clean, batched)
+        assert len(t1) == len(t2) >= 2  # chunking + scene cut happened
+        for a, b in zip(t1, t2):
+            assert (a.start_time, a.end_time) == (b.start_time, b.end_time)
+            assert a.params.equal_ignoring_seed(b.params)
+
+    def test_mesh_batch_matches_streaming(self):
+        from grav1synth_tpu.parallel import make_mesh
+
+        grainy, clean = self._clip_with_scene_change()
+
+        def stream(est, g, c):
+            for gf, cf in zip(g, c):
+                est.diff_frame(list(gf), list(cf))
+
+        mesh = make_mesh()
+
+        def meshed(est, g, c):
+            # batch of 7 on an 8-device mesh: exercises padding too
+            for i in range(0, len(g), 7):
+                est.diff_batch(
+                    [list(f) for f in g[i : i + 7]],
+                    [list(f) for f in c[i : i + 7]],
+                    mesh=mesh,
+                )
+
+        t1 = self._tables(grainy, clean, stream)
+        t2 = self._tables(grainy, clean, meshed)
+        assert len(t1) == len(t2)
+        for a, b in zip(t1, t2):
+            assert (a.start_time, a.end_time) == (b.start_time, b.end_time)
+            assert a.params.equal_ignoring_seed(b.params)
+
+    def test_batch_mono_and_mixed_depth(self):
+        """Luma-only pairs and 10-bit denoised vs 8-bit source both go
+        through the batched path (the reference's four monomorphized
+        depth arms, main.rs:434-518)."""
+        params = film_params()
+        clean = film_like_clip(n=8)
+        grainy = inject_grain(clean, params)
+        est1 = DiffEstimator((24, 1), denoised_bit_depth=10, chunk_frames=1000)
+        est2 = DiffEstimator((24, 1), denoised_bit_depth=10, chunk_frames=1000)
+        g = [[f[0]] for f in grainy]
+        c10 = [[f[0].astype(np.int32) << 2] for f in clean]
+        for gf, cf in zip(g, c10):
+            est1.diff_frame(gf, cf)
+        est2.diff_batch(g, c10)
+        t1, t2 = est1.finish(), est2.finish()
+        assert len(t1) == len(t2) == 1
+        assert t1[0].params.equal_ignoring_seed(t2[0].params)
+        assert not t1[0].params.scaling_points_cb  # mono: no chroma fit

@@ -240,6 +240,19 @@ class TestDiff:
         # noise was flat across intensity: curve should be roughly flat
         ys = [y for _, y in p.scaling_points_y]
         assert max(ys) > 0
+        # batch/shard settings must not change the result (CLI --batch/
+        # --shards contract): small batches and an 8-device mesh both
+        # reproduce the default table byte-for-byte
+        out2 = tmp_path / "diff_b3.tbl"
+        pipelines.diff(
+            str(src), str(den), str(out2), progress=False, batch=3
+        )
+        assert out2.read_bytes() == out.read_bytes()
+        out3 = tmp_path / "diff_sh.tbl"
+        pipelines.diff(
+            str(src), str(den), str(out3), progress=False, batch=5, shards=8
+        )
+        assert out3.read_bytes() == out.read_bytes()
 
 
 class TestDiffChroma:
