@@ -243,8 +243,15 @@ def measure_host_rewrite_fps() -> float:
 def measure_diff_stats_fps():
     """Device throughput of the diff pipeline's batched statistics
     reduction (production path: DiffEstimator.diff_batch ->
-    batch_pair_stats_per_frame) at 1080p and 4K10, plus the compiled
-    program's temp-memory footprint at 4K as the memory check."""
+    batch_pair_stats_per_frame, Pallas backend) at 1080p and 4K10,
+    plus the compiled program's temp-memory footprint at 4K as the
+    memory check.
+
+    Measurement discipline (this runtime caches repeated identical
+    executions and its block_until_ready does not truly sync): every
+    iteration feeds a DISTINCT device-derived input, the outputs chain
+    into one accumulator, and a single small np.asarray download at the
+    end of each rep forces the whole chain to execute."""
     import jax
     import jax.numpy as jnp
 
@@ -257,21 +264,27 @@ def measure_diff_stats_fps():
         dy = jnp.asarray(rng.integers(0, maxv, (b, h, w), dtype=np.int32))
         sc = jnp.asarray(rng.integers(0, maxv, (b, h // 2, w // 2), dtype=np.int32))
         dc = jnp.asarray(rng.integers(0, maxv, (b, h // 2, w // 2), dtype=np.int32))
+        _ = np.asarray((sy + dy)[0, 0, :4])  # complete the uploads
 
-        def stats():
+        def stats(x):
             return batch_pair_stats_per_frame(
-                sy, dy, sc, dc, sc, dc, lag=2, bit_depth=bit_depth,
+                x, dy, sc, dc, sc, dc, lag=2, bit_depth=bit_depth,
                 sub_x=1, sub_y=1, has_chroma=True,
             )
 
-        jax.block_until_ready(stats())  # compile
+        out = stats(sy)
+        _ = np.asarray(out[0]["n_ar"])  # compile + first execution
         best = 0.0
-        iters = 8
+        iters = 4
+        salt = 0
         for _ in range(3):
             t0 = time.time()
+            acc = jnp.float32(0.0)
             for _ in range(iters):
-                out = stats()
-                jax.block_until_ready(out)  # stats are tiny; sync each
+                salt += 1
+                o = stats(sy + np.int32(salt))
+                acc = acc + o[0]["atb"].sum() + o[1]["atb"].sum()
+            _ = float(np.asarray(acc))  # single true sync per rep
             best = max(best, b * iters / (time.time() - t0))
         lowered = jax.jit(
             lambda *a: batch_pair_stats_per_frame(

@@ -139,9 +139,38 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _setup_compile_cache() -> None:
+    """Persistent XLA compilation cache: the device pipelines (diff
+    statistics kernel, grain engine) compile once per machine instead
+    of once per run. GRAV1_CACHE_DIR overrides; GRAV1_CACHE_DIR=""
+    disables."""
+    path = os.environ.get(
+        "GRAV1_CACHE_DIR",
+        os.path.join(
+            os.environ.get(
+                "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
+            ),
+            "grav1synth",
+            "xla",
+        ),
+    )
+    if not path:
+        return
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
+
 def main(argv=None) -> int:
     _setup_logging()
     args = build_parser().parse_args(argv)
+    if args.command in ("diff", "render", "estimate"):
+        _setup_compile_cache()
     from . import pipelines
 
     if args.command == "inspect":

@@ -70,29 +70,53 @@ def _flat_mask(den: jnp.ndarray) -> jnp.ndarray:
 # rows per normal-equation chunk: bounds the materialized (K, chunk)
 # design slab to ~16 MB at 4K so nothing spills; the MXU accumulates
 # ata across chunks
-_NE_CHUNK_ROWS = 128
+_NE_CHUNK_ROWS = 256
 
 
-def _masked_normal_eqs(r, interior_mask, cols):
-    """cols: K-element list/sequence of (h', w') predictor views;
-    returns (ata, atb, n).
+def _masked_normal_eqs(r, interior_mask, cols_full, offs, pad):
+    """Masked lag-window normal equations; returns (ata, atb, n).
 
-    Row-chunked MXU formulation: a whole-frame (K, N) design matrix
-    materializes multi-GB temporaries at 4K batch sizes (measured ~20
-    GB compiler temp for a 16-frame batch — off-chip spill), so the
-    stack is built ~128 rows at a time (~16 MB a slab) and each slab's
-    ata/atb matmul accumulates into the K x K result."""
-    k = len(cols)
-    hp, wp = r.shape
-    ata = jnp.zeros((k, k), jnp.float32)
-    atb = jnp.zeros((k,), jnp.float32)
-    for r0 in range(0, hp, _NE_CHUNK_ROWS):
-        r1 = min(r0 + _NE_CHUNK_ROWS, hp)
-        m = interior_mask[r0:r1]
-        slab = jnp.stack([c[r0:r1] for c in cols]).reshape(k, -1)
-        slab = slab * m.reshape(1, -1)
-        ata = ata + slab @ slab.T
-        atb = atb + slab @ (r[r0:r1] * m).reshape(-1)
+    ``cols_full``: the K predictor source planes, FULL-frame sized;
+    column k of the design matrix is cols_full[k] shifted by offs[k]
+    relative to the (pad-cropped) interior. Row-chunked MXU
+    formulation: a whole-frame (K, N) design matrix materializes
+    multi-GB temporaries at 4K batch sizes (measured ~20 GB compiler
+    temp for a 16-frame batch — off-chip spill), so each fori_loop
+    step builds one ~256-row slab (~16 MB) with dynamic slices and
+    accumulates its ata/atb matmuls; a rolled (not unrolled) loop
+    keeps the HLO small enough to compile quickly."""
+    k = len(cols_full)
+    h, w = r.shape
+    hp, wp = h - 2 * pad, w - 2 * pad
+    ch = _NE_CHUNK_ROWS
+    n_chunks = -(-hp // ch)
+    # zero-pad rows so every chunk is full-height; mask 0 => no term
+    hpad = n_chunks * ch - hp
+    mask_p = jnp.pad(interior_mask, ((0, hpad), (0, 0)))
+    r_p = jnp.pad(r, ((0, hpad + 2 * pad), (0, 0)))
+    cols_p = [jnp.pad(c, ((0, hpad + 2 * pad), (0, 0))) for c in cols_full]
+
+    def body(i, carry):
+        ata, atb = carry
+        row = i * ch
+        m = jax.lax.dynamic_slice(mask_p, (row, 0), (ch, wp))
+        slab = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    cols_p[j], (row + pad + offs[j][0], pad + offs[j][1]),
+                    (ch, wp),
+                )
+                for j in range(k)
+            ]
+        ).reshape(k, -1) * m.reshape(1, -1)
+        r0 = jax.lax.dynamic_slice(r_p, (row + pad, pad), (ch, wp))
+        return ata + slab @ slab.T, atb + slab @ (r0 * m).reshape(-1)
+
+    ata, atb = jax.lax.fori_loop(
+        0, n_chunks,
+        body,
+        (jnp.zeros((k, k), jnp.float32), jnp.zeros((k,), jnp.float32)),
+    )
     return ata, atb, jnp.sum(interior_mask)
 
 
@@ -129,13 +153,8 @@ def frame_pair_stats(
     offs = _lag_offsets(lag)
     pad = lag
     interior = mask[pad : h - pad, pad : w - pad]
-    r0 = r[pad : h - pad, pad : w - pad]
 
-    def shifted(dr, dc):
-        return r[pad + dr : h - pad + dr, pad + dc : w - pad + dc]
-
-    cols = [shifted(dr, dc) for dr, dc in offs]
-    ata, atb, n_ar = _masked_normal_eqs(r0, interior, cols)
+    ata, atb, n_ar = _masked_normal_eqs(r, interior, [r] * len(offs), offs, pad)
     bin_cnt, bin_sum, bin_sumsq = _binned_moments(den, r, mask, bit_depth)
     return dict(
         ata=ata, atb=atb, n_ar=n_ar, bin_cnt=bin_cnt, bin_sum=bin_sum,
@@ -176,15 +195,10 @@ def frame_pair_stats_chroma(
     offs = _lag_offsets(lag)
     pad = lag
     interior = mask[pad : hc - pad, pad : wc - pad]
-    r0 = rc[pad : hc - pad, pad : wc - pad]
 
-    def shifted(dr, dc):
-        return rc[pad + dr : hc - pad + dr, pad + dc : wc - pad + dc]
-
-    cols = [shifted(dr, dc) for dr, dc in offs] + [
-        lavg[pad : hc - pad, pad : wc - pad]
-    ]
-    ata, atb, n_ar = _masked_normal_eqs(r0, interior, cols)
+    ata, atb, n_ar = _masked_normal_eqs(
+        rc, interior, [rc] * len(offs) + [lavg], offs + [(0, 0)], pad
+    )
     bin_cnt, bin_sum, bin_sumsq = _binned_moments(den_c, rc, mask, bit_depth)
     return dict(
         ata=ata, atb=atb, n_ar=n_ar, bin_cnt=bin_cnt, bin_sum=bin_sum,
@@ -439,13 +453,33 @@ def batch_pair_stats_chroma(
     return {k: jnp.sum(v, axis=0) for k, v in per.items()}
 
 
+def _chroma_lavg(r_luma, hc, wc, sub_x, sub_y):
+    """Collocated subsample-averaged luma residual (the chroma design's
+    cross-plane column)."""
+    need_h, need_w = hc << sub_y, wc << sub_x
+    h, w = r_luma.shape[1:]
+    rl = jnp.pad(
+        r_luma,
+        ((0, 0), (0, max(0, need_h - h)), (0, max(0, need_w - w))),
+        mode="edge",
+    )
+    acc = jnp.zeros((r_luma.shape[0], hc, wc), jnp.float32)
+    for i in range(sub_y + 1):
+        for j in range(sub_x + 1):
+            acc = acc + rl[:, i :: 1 << sub_y, j :: 1 << sub_x][:, :hc, :wc]
+    return acc / ((sub_y + 1) * (sub_x + 1))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("lag", "bit_depth", "sub_x", "sub_y", "has_chroma"),
+    static_argnames=(
+        "lag", "bit_depth", "sub_x", "sub_y", "has_chroma", "backend"
+    ),
 )
 def batch_pair_stats_per_frame(
     sy, dy, sc, dc, sr, dr,
     lag: int, bit_depth: int, sub_x: int, sub_y: int, has_chroma: bool,
+    backend: str = "pallas",
 ):
     """One device dispatch reducing a whole (B, H, W) frame-pair batch
     to PER-FRAME statistics (luma + both chroma planes together).
@@ -454,9 +488,34 @@ def batch_pair_stats_per_frame(
     hundred floats each) so the host-side scene-cut/chunking logic in
     DiffEstimator behaves exactly as in streaming mode, while the pixel
     work — the part the reference spends its time on in its sequential
-    dual-decode loop (main.rs:432-521) — runs as one batched XLA
-    reduction. Returns (y_stats, cb_stats|None, cr_stats|None), each a
-    dict of arrays with leading batch dim."""
+    dual-decode loop (main.rs:432-521) — runs on device. Returns
+    (y_stats, cb_stats|None, cr_stats|None), each a dict of arrays with
+    leading batch dim.
+
+    backend="pallas" (production): the single-pass VMEM-accumulator
+    kernel (ops.diff_pallas; the XLA formulation spills multi-GB temps
+    at 4K). backend="xla": portable cross-check."""
+    if backend == "pallas":
+        from .diff_pallas import pallas_plane_stats
+
+        mask_y = jax.vmap(_flat_mask)(dy)
+        r_y = (sy - dy).astype(jnp.float32)
+        y = pallas_plane_stats(
+            sy - dy, dy, mask_y, None, lag, bit_depth, has_aux=False
+        )
+        if not has_chroma:
+            return y, None, None
+        hc, wc = sc.shape[1:]
+        lavg = _chroma_lavg(r_y, hc, wc, sub_x, sub_y)
+
+        def chroma(s, d):
+            return pallas_plane_stats(
+                s - d, d, jax.vmap(_flat_mask)(d), lavg, lag, bit_depth,
+                has_aux=True,
+            )
+
+        return y, chroma(sc, dc), chroma(sr, dr)
+
     y = jax.vmap(lambda s, d: frame_pair_stats(s, d, lag, bit_depth))(sy, dy)
     if not has_chroma:
         return y, None, None
@@ -473,22 +532,47 @@ def mesh_pair_stats_per_frame(
     mesh, sy, dy, sc, dc, sr, dr, lag, bit_depth, sub_x, sub_y, has_chroma
 ):
     """batch_pair_stats_per_frame with the batch axis sharded over a
-    device mesh: each chip reduces its frame shard; the per-frame stats
-    come back tiny, so the gather is negligible. Pure-XLA computation,
-    so GSPMD partitions it from sharding annotations alone (no
-    shard_map needed); output tables are identical to the serial path
-    at any shard count."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    device mesh: each chip runs the stats kernel on its local frame
+    shard (shard_map, not GSPMD annotations — the Pallas reduction is
+    a custom call the partitioner cannot split); the per-frame stats
+    come back tiny, so the gather is negligible. Output tables are
+    identical to the serial path at any shard count."""
+    from jax.sharding import PartitionSpec as P
 
-    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-    args = [
-        None if a is None else jax.device_put(jnp.asarray(a, jnp.int32), shard)
-        for a in (sy, dy, sc, dc, sr, dr)
-    ]
-    return batch_pair_stats_per_frame(
-        *args, lag=lag, bit_depth=bit_depth, sub_x=sub_x, sub_y=sub_y,
-        has_chroma=has_chroma,
+    axis = mesh.axis_names[0]
+    shard = P(axis)
+
+    def step(*args):
+        return batch_pair_stats_per_frame(
+            *args, lag=lag, bit_depth=bit_depth, sub_x=sub_x, sub_y=sub_y,
+            has_chroma=has_chroma,
+        )
+
+    if has_chroma:
+        args = [jnp.asarray(a, jnp.int32) for a in (sy, dy, sc, dc, sr, dr)]
+        in_specs = (shard,) * 6
+        out_specs = (shard, shard, shard)
+    else:
+        args = [jnp.asarray(sy, jnp.int32), jnp.asarray(dy, jnp.int32)]
+
+        def step(sy_, dy_):  # noqa: F811 — mono arity
+            return batch_pair_stats_per_frame(
+                sy_, dy_, None, None, None, None,
+                lag=lag, bit_depth=bit_depth, sub_x=sub_x, sub_y=sub_y,
+                has_chroma=False,
+            )[0]
+
+        in_specs = (shard, shard)
+        out_specs = shard
+    mapped = jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
     )
+    with mesh:
+        out = jax.jit(mapped)(*args)
+    if has_chroma:
+        return out
+    return out, None, None
 
 
 def sharded_diff_stats(

@@ -93,13 +93,8 @@ def frame_self_stats(y: jnp.ndarray, lag: int, bit_depth: int):
     offs = _lag_offsets(lag)
     pad = lag
     interior = mask[pad : h - pad, pad : w - pad]
-    r0 = r[pad : h - pad, pad : w - pad]
 
-    def shifted(dr, dc):
-        return r[pad + dr : h - pad + dr, pad + dc : w - pad + dc]
-
-    cols = [shifted(dr, dc) for dr, dc in offs]
-    ata, atb, n_ar = _masked_normal_eqs(r0, interior, cols)
+    ata, atb, n_ar = _masked_normal_eqs(r, interior, [r] * len(offs), offs, pad)
     bin_cnt, bin_sum, bin_sumsq = _binned_moments(den, r, mask, bit_depth)
     return dict(
         ata=ata, atb=atb, n_ar=n_ar, bin_cnt=bin_cnt, bin_sum=bin_sum,

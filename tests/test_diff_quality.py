@@ -312,3 +312,35 @@ class TestBatchedDiff:
         assert len(t1) == len(t2) == 1
         assert t1[0].params.equal_ignoring_seed(t2[0].params)
         assert not t1[0].params.scaling_points_cb  # mono: no chroma fit
+
+
+class TestPallasStats:
+    def test_pallas_matches_xla(self):
+        """The production single-pass Pallas stats kernel (diff_pallas)
+        must reproduce the XLA reference reduction (both backends of
+        batch_pair_stats_per_frame), luma and chroma, within f32
+        reassociation tolerance."""
+        import jax.numpy as jnp
+
+        from grav1synth_tpu.ops.diff_estimate import batch_pair_stats_per_frame
+
+        rng = np.random.default_rng(1)
+        b, h, w = 2, 150, 260  # non-multiples of the kernel chunk/lane
+        s = jnp.asarray(rng.integers(0, 1023, (b, h, w), dtype=np.int32))
+        d = jnp.asarray(rng.integers(0, 1023, (b, h, w), dtype=np.int32))
+        sc = jnp.asarray(rng.integers(0, 1023, (b, h // 2, w // 2), dtype=np.int32))
+        dc = jnp.asarray(rng.integers(0, 1023, (b, h // 2, w // 2), dtype=np.int32))
+        out_p = batch_pair_stats_per_frame(
+            s, d, sc, dc, sc, dc, lag=2, bit_depth=10, sub_x=1, sub_y=1,
+            has_chroma=True, backend="pallas",
+        )
+        out_x = batch_pair_stats_per_frame(
+            s, d, sc, dc, sc, dc, lag=2, bit_depth=10, sub_x=1, sub_y=1,
+            has_chroma=True, backend="xla",
+        )
+        for a, c in zip(out_p, out_x):
+            for k in a:
+                av = np.asarray(a[k], np.float64)
+                cv = np.asarray(c[k], np.float64)
+                scale = max(np.abs(cv).max(), 1.0)
+                assert np.abs(av - cv).max() / scale < 1e-5, k
