@@ -106,6 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip grain synthesis (clean decode)",
     )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=1,
+        help="synthesize each batch's frames on N devices "
+        "(output is identical to --shards 1)",
+    )
     p.add_argument("-y", action="store_true")
 
     p = sub.add_parser(
@@ -221,7 +228,8 @@ def main(argv=None) -> int:
     elif args.command == "render":
         _check_paths(args.input, args.output, args.y)
         n = pipelines.render(
-            args.input, args.output, batch=args.batch, grain=not args.no_grain
+            args.input, args.output, batch=args.batch,
+            grain=not args.no_grain, shards=args.shards,
         )
         print(f"Done, rendered {n} frames")
     elif args.command == "estimate":

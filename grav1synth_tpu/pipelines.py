@@ -585,6 +585,7 @@ def render(
     batch: int = 16,
     grain: bool = True,
     progress: bool = True,
+    shards: int = 1,
 ) -> int:
     """Decode an AV1 stream and emit pixels WITH film grain synthesized
     by the TPU engine (y4m output). Capability superset of the
@@ -595,12 +596,31 @@ def render(
     Decode (dav1d, grain off) and header parsing run on host; frames
     batch through ops.grain_jax.apply_grain (host-generated patterns +
     Pallas scaling/blend kernels), bit-exact with dav1d's own synthesis.
+    ``shards`` spreads each batch's frames over an N-device mesh
+    (parallel.mesh.sharded_apply: the production shard_map running the
+    Pallas kernels per device) — output is identical to --shards 1.
     """
     import numpy as np
 
     from .container.ffshim import Decoder
     from .container.y4m import Y4mWriter
     from .ops import grain_jax
+
+    mesh = None
+    if shards > 1:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if shards > n_dev:
+            log.warning(
+                "--shards %d exceeds %d available devices; using %d",
+                shards, n_dev, n_dev,
+            )
+            shards = n_dev
+        if shards > 1:
+            mesh = make_mesh(shards)
 
     with VideoFile(input_path) as vf:
         parser = Av1Parser()
@@ -636,7 +656,28 @@ def render(
             sub = pend[0][0].subsampling
             todo = [i for i, (_, p) in enumerate(pend) if _grain_visible(p)]
             outs = [list(f.planes) for f, _ in pend]
-            if todo:
+            if todo and mesh is not None:
+                from .parallel.mesh import pad_batch, sharded_apply
+
+                hp = [pend[i][1] for i in todo]
+                planes = [
+                    np.stack([pend[i][0].planes[k] for i in todo]).astype(
+                        np.int16
+                    )
+                    for k in range(1 if mono else 3)
+                ]
+                planes_p, hp_p, nreal = pad_batch(planes, hp, mesh.devices.size)
+                pb = grain_jax.pack_params(hp_p)
+                yo, cbo, cro = sharded_apply(
+                    mesh, planes_p[0],
+                    None if mono else planes_p[1],
+                    None if mono else planes_p[2],
+                    pb, bd, sub_x=sub[0], sub_y=sub[1], monochrome=mono,
+                )
+                yo = yo[:nreal]
+                if cbo is not None:
+                    cbo, cro = cbo[:nreal], cro[:nreal]
+            elif todo:
                 hp = [pend[i][1] for i in todo]
                 pb = grain_jax.pack_params(hp)
                 y = np.stack([pend[i][0].planes[0] for i in todo]).astype(np.int16)
@@ -653,6 +694,7 @@ def render(
                         y, cb, cr, pb, bd, sub[0], sub[1], False,
                         backend="pallas", host_params=hp,
                     )
+            if todo:
                 dt = np.uint8 if bd == 8 else np.uint16
                 for k, i in enumerate(todo):
                     outs[i][0] = np.asarray(yo[k]).astype(dt)

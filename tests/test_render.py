@@ -123,3 +123,15 @@ def test_y4m_roundtrip(tmp_path):
     for got, want in zip(frames, fr):
         for a, b in zip(got, want):
             assert (a == b).all()
+
+
+def test_render_sharded_identical(tmp_path):
+    """render --shards N (frames spread over the device mesh through
+    parallel.mesh.sharded_apply) writes a byte-identical y4m to the
+    serial path — batch 5 on 8 devices also exercises the padding."""
+    path, _ = _grainy_ivf(tmp_path, 96, 66, 8, False, 7, "")
+    serial = tmp_path / "serial.y4m"
+    sharded = tmp_path / "sharded.y4m"
+    pipelines.render(path, str(serial), batch=5, progress=False)
+    pipelines.render(path, str(sharded), batch=5, progress=False, shards=8)
+    assert serial.read_bytes() == sharded.read_bytes()
