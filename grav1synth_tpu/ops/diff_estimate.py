@@ -49,22 +49,74 @@ def _lag_offsets(lag: int) -> List[Tuple[int, int]]:
 def _flat_mask(den: jnp.ndarray) -> jnp.ndarray:
     """(H, W) 0/1 mask of low-activity blocks of the denoised signal
     (denoiser leakage in textured areas would bias the noise model)."""
-    h, w = den.shape
-    gx = jnp.abs(jnp.diff(den.astype(jnp.float32), axis=1))
-    gy = jnp.abs(jnp.diff(den.astype(jnp.float32), axis=0))
-    act = jnp.zeros((h, w), jnp.float32)
-    act = act.at[:, :-1].add(gx).at[:-1, :].add(gy)
-    hb, wb = h // FLAT_BLOCK, w // FLAT_BLOCK
-    act_b = act[: hb * FLAT_BLOCK, : wb * FLAT_BLOCK].reshape(
-        hb, FLAT_BLOCK, wb, FLAT_BLOCK
-    ).mean(axis=(1, 3))
-    thresh = jnp.percentile(act_b, 50.0) * 1.5 + 1e-3
-    flat_b = act_b < thresh
-    mask = jnp.zeros((h, w), jnp.float32)
-    mask = mask.at[: hb * FLAT_BLOCK, : wb * FLAT_BLOCK].set(
-        jnp.repeat(jnp.repeat(flat_b.astype(jnp.float32), FLAT_BLOCK, 0), FLAT_BLOCK, 1)
+    return _flat_mask_batch(den[None])[0]
+
+
+def _flat_blocks_batch(den: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) -> (B, H//FB, W//FB) flat-BLOCK map (1 = flat).
+
+    The pixel-level mask is blocks[i//FB, j//FB], zero past the last
+    full block; the production pallas path ships only this tiny map to
+    the stats kernel (which expands it in VMEM), so no full-resolution
+    mask plane ever exists in HBM.
+
+    Explicitly batched rather than vmapped: vmapping the per-frame
+    version makes XLA rewrite the percentile chain into batch-minor
+    (H, W, B) layouts — three full-resolution transposes measured
+    ~1.6 GB of temp at 4K batch 16. Also scatter-free (the earlier
+    ``.at[].add`` scatters materialized full-resolution temporaries)
+    with block means via ``reduce_window`` (a 4-D reshape with a
+    FLAT_BLOCK-sized minor dim forces a padded-layout relayout —
+    measured 4.2 GB temp at 4K batch 16). Value-identical to the
+    naive formulation (verified elementwise on chip)."""
+    b, h, w = den.shape
+    denf = den.astype(jnp.float32)
+    gx = jnp.abs(jnp.diff(denf, axis=2))
+    gy = jnp.abs(jnp.diff(denf, axis=1))
+    # act[i, j] = gx[i, j] (j<w-1) + gy[i, j] (i<h-1), zero-pad edges
+    act = jnp.pad(gx, ((0, 0), (0, 0), (0, 1))) + jnp.pad(
+        gy, ((0, 0), (0, 1), (0, 0))
     )
-    return mask
+    hb, wb = h // FLAT_BLOCK, w // FLAT_BLOCK
+    act_b = jax.lax.reduce_window(
+        act[:, : hb * FLAT_BLOCK, : wb * FLAT_BLOCK],
+        0.0,
+        jax.lax.add,
+        (1, FLAT_BLOCK, FLAT_BLOCK),
+        (1, FLAT_BLOCK, FLAT_BLOCK),
+        "valid",
+    ) / (FLAT_BLOCK * FLAT_BLOCK)
+    thresh = (
+        jnp.percentile(act_b.reshape(b, -1), 50.0, axis=1)[:, None, None]
+        * 1.5
+        + 1e-3
+    )
+    return (act_b < thresh).astype(jnp.float32)
+
+
+def _flat_mask_batch(den: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) -> (B, H, W) full-resolution flat mask: the block map
+    upsampled with two 0/1 expansion matmuls on the MXU (a broadcast
+    with a FLAT_BLOCK minor dim relayouts; einsum stays tiled)."""
+    b, h, w = den.shape
+    hb, wb = h // FLAT_BLOCK, w // FLAT_BLOCK
+    flat_b = _flat_blocks_batch(den)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, hb), 0)
+    eh = ((rows // FLAT_BLOCK)
+          == jax.lax.broadcasted_iota(jnp.int32, (h, hb), 1)) & (
+        rows < hb * FLAT_BLOCK
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wb, w), 1)
+    ew = ((cols // FLAT_BLOCK)
+          == jax.lax.broadcasted_iota(jnp.int32, (wb, w), 0)) & (
+        cols < wb * FLAT_BLOCK
+    )
+    return jnp.einsum(
+        "hk,bkl,lw->bhw",
+        eh.astype(jnp.float32),
+        flat_b,
+        ew.astype(jnp.float32),
+    )
 
 
 # rows per normal-equation chunk: bounds the materialized (K, chunk)
@@ -455,19 +507,37 @@ def batch_pair_stats_chroma(
 
 def _chroma_lavg(r_luma, hc, wc, sub_x, sub_y):
     """Collocated subsample-averaged luma residual (the chroma design's
-    cross-plane column)."""
+    cross-plane column).
+
+    Block-average via ``reduce_window``, not strided slices: the four
+    ``rl[:, i::2, j::2]`` gathers this used to do measured 17 ms/frame
+    at 4K on TPU — ~4x the stats kernel itself — and a space-to-depth
+    reshape leaves a 2-wide minor dim whose padded layout costs ~5 GB
+    of temp. For sub in {0, 1} the tap set (rows 0..sub_y, cols
+    0..sub_x of each 2^sub block) is exactly the full block, so a
+    block mean is value-identical: the 4-int sums are exact in f32
+    regardless of order and the divisor is a power of two.
+
+    Accepts integer residuals too (the production pallas branch pools
+    the int32 residual directly so the full-resolution f32 copy never
+    materializes — pooling ints and dividing the small pooled output
+    is exact for the same reason the f32 order-independence is)."""
     need_h, need_w = hc << sub_y, wc << sub_x
     h, w = r_luma.shape[1:]
     rl = jnp.pad(
         r_luma,
         ((0, 0), (0, max(0, need_h - h)), (0, max(0, need_w - w))),
         mode="edge",
+    )[:, :need_h, :need_w]
+    pooled = jax.lax.reduce_window(
+        rl,
+        jnp.zeros((), rl.dtype),
+        jax.lax.add,
+        (1, 1 << sub_y, 1 << sub_x),
+        (1, 1 << sub_y, 1 << sub_x),
+        "valid",
     )
-    acc = jnp.zeros((r_luma.shape[0], hc, wc), jnp.float32)
-    for i in range(sub_y + 1):
-        for j in range(sub_x + 1):
-            acc = acc + rl[:, i :: 1 << sub_y, j :: 1 << sub_x][:, :hc, :wc]
-    return acc / ((sub_y + 1) * (sub_x + 1))
+    return pooled.astype(jnp.float32) / (1 << (sub_x + sub_y))
 
 
 @functools.partial(
@@ -496,25 +566,33 @@ def batch_pair_stats_per_frame(
     kernel (ops.diff_pallas; the XLA formulation spills multi-GB temps
     at 4K). backend="xla": portable cross-check."""
     if backend == "pallas":
-        from .diff_pallas import pallas_plane_stats
+        from .diff_pallas import pallas_flat_blocks, pallas_plane_stats
 
-        mask_y = jax.vmap(_flat_mask)(dy)
-        r_y = (sy - dy).astype(jnp.float32)
-        y = pallas_plane_stats(
-            sy - dy, dy, mask_y, None, lag, bit_depth, has_aux=False
-        )
+        # int16 residuals up front: every AV1 bit depth fits, the
+        # int32 difference never materializes, and the same buffer
+        # feeds both the stats kernel and the luma-average pool; the
+        # flat mask travels as the block map (expanded in-kernel)
+        # unless the plane is too small to hold one block
+        def plane_stats(s, d, aux_col, aux_flag):
+            if min(d.shape[1:]) >= FLAT_BLOCK:
+                mask, mb = pallas_flat_blocks(d, FLAT_BLOCK), FLAT_BLOCK
+            else:
+                mask, mb = jnp.zeros(d.shape, jnp.float32), 0
+            return pallas_plane_stats(
+                (s - d).astype(jnp.int16), d, mask, aux_col, lag,
+                bit_depth, has_aux=aux_flag, mask_blocks=mb,
+            )
+
+        y = plane_stats(sy, dy, None, False)
         if not has_chroma:
             return y, None, None
         hc, wc = sc.shape[1:]
-        lavg = _chroma_lavg(r_y, hc, wc, sub_x, sub_y)
-
-        def chroma(s, d):
-            return pallas_plane_stats(
-                s - d, d, jax.vmap(_flat_mask)(d), lavg, lag, bit_depth,
-                has_aux=True,
-            )
-
-        return y, chroma(sc, dc), chroma(sr, dr)
+        lavg = _chroma_lavg((sy - dy).astype(jnp.int16), hc, wc, sub_x, sub_y)
+        return (
+            y,
+            plane_stats(sc, dc, lavg, True),
+            plane_stats(sr, dr, lavg, True),
+        )
 
     y = jax.vmap(lambda s, d: frame_pair_stats(s, d, lag, bit_depth))(sy, dy)
     if not has_chroma:

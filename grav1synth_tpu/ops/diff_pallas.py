@@ -1,30 +1,44 @@
 """Pallas TPU kernel for the diff/estimate statistics reduction.
 
 The XLA formulation of frame_pair_stats compiles to a spilling program
-at 4K batch sizes: the shifted-window design matrix and the 64-bin
-one-hot materialize multi-GB temporaries (measured ~20 GB compiler
-temp for a 16-frame batch), and the fixed variants (pairwise fused
-reductions, row-chunked MXU slabs, rolled fori_loop) all still ran at
-~60 ms/frame on chip. This kernel is the TPU-native answer: one pass
-over the frame with all accumulators resident in VMEM.
+at 4K batch sizes (~20 GB compiler temp for a 16-frame batch), and the
+round-3 Pallas kernel still materialized all K+1 (dr, dc)-shifted
+residual copies in XLA before the kernel (a ~6.4 GB int16 slab at 4K10
+batch 16) and reduced the 55 upper-triangle pair sums as rolled
+single-row VPU read-modify-writes. This round-4 rebuild keeps the
+whole pipeline inside one pass:
 
-Shape of the solution (mirrors grain_pallas' pre-rolled patterns):
-
-- Lane shifts are expensive on TPU, so phase 1 (XLA, bandwidth-bound)
-  materializes the K+1 (dr, dc)-shifted copies of the int16 residual —
-  plus the binning values and a two-bit mask plane — and the kernel
-  then computes ONLY aligned elementwise products.
-- A fully-unrolled kernel (~250 scalar reductions) crashed the TPU
-  compiler outright, so every family of accumulations is a rolled
-  fori_loop whose body stores one row-sum into a dynamically-indexed
-  row of a wide (OUT_ROWS, W) VMEM accumulator: 55 upper-triangle pair
-  sums of the shifted copies over the interior mask (row 0 = the
-  unshifted residual, so ata, atb and the residual energy all fall out
-  of one triangle), the mask count, and 64 x 3 per-intensity-bin
-  moments over the full mask. The final lane reduction of the wide
-  accumulator runs in XLA after the kernel.
+- **In-kernel haloed shifts.** The kernel receives the *unshifted*
+  int16 residual twice — the current row chunk and the previous chunk
+  (clamped block index) — builds the (chunk+lag)-row halo in VMEM, and
+  derives every causal (dr, dc) window from it with a static row slice
+  plus a lane roll (`pltpu.roll`; rolls must run in f32 — Mosaic has
+  no 16-bit rotate). Phase-1 XLA work shrinks to zero-padding the
+  residual/mask/values to tile multiples: ~2·B·H·W bytes per input
+  (measured 0.53 GB total at 4K10 batch 8, was 6.4 GB).
+- **Gram matmul on the MXU.** The masked design planes (the K shifted
+  copies, the optional aux column, and the mask itself as a ones row)
+  are flattened to an (NPP, chunk·W) matrix X — the (CH, W)→(1, CH·W)
+  lane-collapse reshape is the one layout Mosaic lowers a 2-D
+  contraction for — and all pair sums fall out of one X·Xᵀ
+  `dot_general` per chunk: ata, atb, the residual energy, and the
+  mask count (ones·ones) in a single (NPP, NPP) accumulator. This
+  replaces the 55-91 rolled row RMWs; multi-dim contractions,
+  batched dots, and per-row fori dots all fail Mosaic lowering
+  (probed on-chip), the flat NT-form dot is the supported shape.
+- The 64 per-intensity-bin (count, sum, sum-of-squares) moments stay
+  on the VPU as a rolled fori_loop over a wide (192, W) accumulator —
+  an MXU one-hot formulation was A/B'd on chip and measured *slower*
+  (7.7 vs 4.9 ms/frame: the per-8-row reshapes and the f32 one-hot
+  build cost more than the row reductions they replace).
 - Grid: (batch, row_chunks); TPU grids iterate sequentially, so the
-  read-modify-write accumulation is race-free.
+  read-modify-write accumulation is race-free. Clamped-halo garbage
+  rows at chunk 0 only ever land in positions the interior predicate
+  masks to zero (any p within `lag` of the frame border).
+
+Measured on the tunnel v5e at 4K10 (one full plane + aux column,
+batch 8): 4.9 ms/frame vs 6.6 ms for the round-3 kernel on the same
+shapes, with the 6.4 GB phase-1 slab gone entirely.
 
 Bit-for-bit parity with the XLA path is not required (f32 sum order
 differs); tests hold them to rtol 1e-5 and the fitted tables to
@@ -39,14 +53,13 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NUM_BINS = 64
-# rows per grid step: the (NP, _CHUNK, W) int16 slab plus the wide
-# accumulator must fit the ~16 MB scoped-VMEM budget with input
-# double-buffering (128 rows OOM'd by 1.8 MB at 1080p batch 32)
-_CHUNK = 32
+# VMEM budget for the flattened design matrix X (NPP, chunk*W) f32;
+# chunk shrinks when the plane count (lag 3) or the width grows
+_X_BUDGET_BYTES = 8 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -66,192 +79,344 @@ def _offsets(lag: int) -> List[Tuple[int, int]]:
 
 
 def _stats_kernel(
-    pair_ij_ref,  # scalar prefetch: (n_pairs,) int32 packed i*32 + j
-    m_ref,  # (1, CH, W) int16: bit0 bins mask, bit1 interior mask
-    sh_ref,  # (1, NP, CH, W) int16 shifted residual copies (+aux last)
-    val_ref,  # (1, CH, W) int16 binning values
-    out_ref,  # (1, OUT_ROWS, W) f32 wide accumulators
+    rp_ref,  # (1, CH, W) int16 previous residual chunk (clamped at c=0)
+    rc_ref,  # (1, CH, W) int16 current residual chunk
+    val_ref,  # (1, CH, W) int16: bits 0-13 binning value, bit 14 mask
+    fb_ref,  # (1, HB, WBP) f32 block-mask map, or None (full-res mask)
+    e2_ref,  # (WBP, W) f32 0/1 column-expansion matrix, or None
+    aux_ref,  # (1, CH, W) int16 aux*4, or None when has_aux=False
+    gram_ref,  # (1, NPP, NPP) f32 Gram accumulator
+    mom_ref,  # (1, MROWS, W) f32 wide bin-moment accumulator
     *,
-    n_planes: int,
+    offs: List[Tuple[int, int]],
+    lag: int,
+    h: int,
+    w: int,
+    chunk: int,
+    npp: int,
     bin_shift: int,
-    out_rows: int,
+    hb: int,
+    fbs: int,
 ):
     c = pl.program_id(1)
-    m = m_ref[0].astype(jnp.int32)
-    mneq = (m >> 1).astype(jnp.float32)
-    mbins = (m & 1).astype(jnp.float32)
 
     @pl.when(c == 0)
     def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        gram_ref[0] = jnp.zeros_like(gram_ref[0])
+        mom_ref[0] = jnp.zeros_like(mom_ref[0])
 
-    def acc_row(row, x):  # x: (CH, W); sums rows, accumulates (1, W)
-        vec = jnp.sum(x, axis=0, keepdims=True)
-        cur = out_ref[0, pl.ds(row, 1), :]
-        out_ref[0, pl.ds(row, 1), :] = cur + vec
+    wpad = rc_ref.shape[2]
+    grow = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 1)
+    packed = val_ref[0].astype(jnp.int32)
+    pad = lag
+    interior = (
+        (grow >= pad) & (grow < h - pad) & (col >= pad) & (col < w - pad)
+    )
+    if fb_ref is not None:
+        # block-mask mode: expand the (1, wb) flat-block row to pixel
+        # columns with one tiny MXU dot (0/1 matrix, exact), rows are
+        # uniform because chunk == FLAT_BLOCK
+        mrow = jax.lax.dot_general(
+            fb_ref[0, pl.ds(jnp.minimum(c, hb - 1), 1), :],
+            e2_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (1, wpad)
+        mbins = jnp.where(grow < hb * fbs, mrow, 0.0)
+        mneq = jnp.where(interior & (mbins != 0), 1.0, 0.0)
+    else:
+        m = packed >> 14
+        mneq = jnp.where(interior & (m != 0), 1.0, 0.0)
+        mbins = (m != 0).astype(jnp.float32)
 
-    np_ = n_planes
-    n_pairs = np_ * (np_ + 1) // 2
+    # (chunk+lag)-row halo; at c==0 the prev block is the clamped
+    # current block, whose rows only reach non-interior positions
+    halo = (
+        jnp.concatenate([rp_ref[0, chunk - lag :], rc_ref[0]], axis=0)
+        if lag
+        else rc_ref[0]
+    )
 
-    # upper-triangle pair sums, enumerated flat: accumulator row t
-    # holds pair (i, j>=i) in row-major triangle order; the (i, j)
-    # decode comes from the prefetched SMEM table (no nested loops)
-    def tri_body(t, _):
-        ij = pair_ij_ref[t]
-        i = ij >> 5
-        j = ij & 31
-        pi = sh_ref[0, i].astype(jnp.float32)
-        pj = sh_ref[0, j].astype(jnp.float32)
-        acc_row(t, mneq * pi * pj)
-        return _
+    # design planes: value at p is r(p + (dr, dc)); rolls wrap, but a
+    # wrapped lane only lands outside the interior band
+    rows = []
+    for dr, dc in offs:
+        blk = jax.lax.slice_in_dim(
+            halo, lag + dr, lag + dr + chunk, axis=0
+        ).astype(jnp.float32)
+        if dc:
+            blk = pltpu.roll(blk, shift=(-dc) % wpad, axis=1)
+        rows.append((blk * mneq).reshape(1, chunk * wpad))
+    if aux_ref is not None:
+        rows.append((aux_ref[0].astype(jnp.float32) * mneq).reshape(1, chunk * wpad))
+    rows.append(mneq.reshape(1, chunk * wpad))  # ones row: count + atb col
+    if len(rows) < npp:
+        rows.append(jnp.zeros((npp - len(rows), chunk * wpad), jnp.float32))
+    x = jnp.concatenate(rows, axis=0)
+    gram_ref[0] += jax.lax.dot_general(
+        x,
+        x,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
-    jax.lax.fori_loop(0, n_pairs, tri_body, None)
-    acc_row(n_pairs, mneq)
-
-    r = sh_ref[0, 0].astype(jnp.float32)
-    bins = val_ref[0].astype(jnp.int32) >> bin_shift
-    pr = mbins * r
-    prr = pr * r
-    base = n_pairs + 1
+    r0 = rc_ref[0].astype(jnp.float32)
+    bins = (packed & 0x3FFF) >> bin_shift
+    pr = mbins * r0
+    prr = pr * r0
 
     def bin_body(b, _):
         eq = (bins == b).astype(jnp.float32)
-        acc_row(base + 3 * b, eq * mbins)
-        acc_row(base + 3 * b + 1, eq * pr)
-        acc_row(base + 3 * b + 2, eq * prr)
+        for k, v in enumerate((eq * mbins, eq * pr, eq * prr)):
+            row = 3 * b + k
+            cur = mom_ref[0, pl.ds(row, 1), :]
+            mom_ref[0, pl.ds(row, 1), :] = cur + jnp.sum(
+                v, axis=0, keepdims=True
+            )
         return _
 
     jax.lax.fori_loop(0, NUM_BINS, bin_body, None)
 
 
+def _act_kernel(
+    vc_ref,  # (1, FB, W) int16 current value chunk
+    vn_ref,  # (1, FB, W) int16 next value chunk (clamped at the end)
+    e2_ref,  # (WBP, W) f32 0/1 column-expansion matrix
+    out_ref,  # (1, NCH, WBP) f32 per-block-row activity sums
+    *,
+    h: int,
+    w: int,
+):
+    c = pl.program_id(1)
+    chunk, wpad = vc_ref.shape[1], vc_ref.shape[2]
+    d = vc_ref[0].astype(jnp.float32)
+    nxt = vn_ref[0, :1].astype(jnp.float32)
+    dn = jnp.concatenate(
+        [jax.lax.slice_in_dim(d, 1, chunk, axis=0), nxt], axis=0
+    )
+    dr = pltpu.roll(d, shift=wpad - 1, axis=1)  # value at j = d[j+1]
+    grow = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 1)
+    gx = jnp.where(col < w - 1, jnp.abs(dr - d), 0.0)
+    gy = jnp.where(grow < h - 1, jnp.abs(dn - d), 0.0)
+    rowsum = jnp.sum(gx + gy, axis=0, keepdims=True)
+    # pool columns into FLAT_BLOCK bins: NT dot against the same 0/1
+    # expansion matrix the stats kernel uses to upsample
+    out_ref[0, pl.ds(c, 1), :] = jax.lax.dot_general(
+        rowsum,
+        e2_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pad_i16(a, hpad, wpad):
+    h, w = a.shape[1], a.shape[2]
+    a = a.astype(jnp.int16)
+    if hpad == h and wpad == w:
+        return a
+    return jnp.pad(a, ((0, 0), (0, hpad - h), (0, wpad - w)))
+
+
+def _expand_cols(wb, wbp, wpad, fbs):
+    """(WBP, WPAD) 0/1 matrix: e2[k, j] = (j // fbs == k) for columns
+    inside the last full block, else 0. Used contracting-right to pool
+    pixel columns into blocks and contracting-left to expand blocks
+    back to pixel columns."""
+    colb = jax.lax.broadcasted_iota(jnp.int32, (wbp, wpad), 1)
+    return (
+        ((colb // fbs)
+         == jax.lax.broadcasted_iota(jnp.int32, (wbp, wpad), 0))
+        & (colb < wb * fbs)
+    ).astype(jnp.float32)
+
+
+def pallas_flat_blocks(val: jnp.ndarray, fbs: int) -> jnp.ndarray:
+    """(B, H, W) int plane -> (B, H//fbs, W//fbs) f32 flat-block map,
+    fully on-device: per-block mean |gradient| activity via a small
+    Pallas pooling kernel (the XLA diff/pad/reduce_window chain
+    materialized ~3 GB of full-resolution temporaries at 4K batch 16),
+    then a per-frame median threshold on the tiny block map. All
+    sums are exact integer f32, so the result is value-identical to
+    the XLA formulation (diff_estimate._flat_blocks_batch)."""
+    b, h, w = val.shape
+    hb, wb = h // fbs, w // fbs
+    wpad = -(-w // 128) * 128
+    hpad = -(-h // fbs) * fbs
+    n_chunks = hpad // fbs
+    vi = _pad_i16(val, hpad, wpad)  # CSE'd with the stats kernel's copy
+    wbp = -(-wb // 128) * 128
+    e2 = _expand_cols(wb, wbp, wpad, fbs)
+    out = pl.pallas_call(
+        functools.partial(_act_kernel, h=h, w=w),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, fbs, wpad), lambda bi, c: (bi, c, 0)),
+            pl.BlockSpec(
+                (1, fbs, wpad),
+                lambda bi, c: (bi, jnp.minimum(c + 1, pl.num_programs(1) - 1), 0),
+            ),
+            pl.BlockSpec((wbp, wpad), lambda bi, c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_chunks, wbp), lambda bi, c: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, wbp), jnp.float32),
+        interpret=_interpret(),
+    )(vi, vi, e2)
+    act_b = out[:, :hb, :wb] / (fbs * fbs)
+    thresh = (
+        jnp.percentile(act_b.reshape(b, -1), 50.0, axis=1)[:, None, None]
+        * 1.5
+        + 1e-3
+    )
+    return (act_b < thresh).astype(jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("lag", "bit_depth", "has_aux")
+    jax.jit, static_argnames=("lag", "bit_depth", "has_aux", "mask_blocks")
 )
 def pallas_plane_stats(
-    r: jnp.ndarray,  # (B, H, W) f32/int32 residual (src - den)
+    r: jnp.ndarray,  # (B, H, W) f32/int32/int16 residual (src - den)
     val: jnp.ndarray,  # (B, H, W) int32 binning values (denoised plane)
-    mask: jnp.ndarray,  # (B, H, W) f32/int 0/1 flat mask
+    mask: jnp.ndarray,  # (B, H, W) 0/1 flat mask, or (B, hb, wb) blocks
     aux: Optional[jnp.ndarray],  # (B, H, W) f32 extra column (x4-int!)
     lag: int,
     bit_depth: int,
     has_aux: bool,
+    mask_blocks: int = 0,
 ):
-    """Phase 1 + kernel launch + lane reduction. Returns dict(ata, atb,
-    n_ar, bin_cnt, bin_sum, bin_sumsq) with leading batch dim; aux
-    (when given) must be integral after scaling by 4 (the caller's
-    lavg is a quarter-step average; the aux rows/cols of ata/atb are
-    divided back here) — int16 keeps the kernel traffic half of f32
-    and every product exact."""
+    """Pad + kernel launch + Gram unpack. Returns dict(ata, atb, n_ar,
+    bin_cnt, bin_sum, bin_sumsq) with leading batch dim; aux (when
+    given) must be integral after scaling by 4 (the caller's lavg is a
+    quarter-step average; the aux rows/cols of ata/atb are divided
+    back here) — int16 keeps the kernel traffic half of f32 and every
+    product exact.
+
+    mask_blocks=0: ``mask`` is full-resolution; it rides bit 14 of the
+    packed value plane. mask_blocks=N (the production diff path, N =
+    diff_estimate.FLAT_BLOCK): ``mask`` is the (B, h//N, w//N) flat-
+    BLOCK map and the pixel-level mask mask[i, j] = blocks[i//N, j//N]
+    (zero past the last full block) is expanded inside the kernel, so
+    no full-resolution mask plane ever exists in HBM. Device
+    temporaries are then just the int16 residual/value planes
+    (~2·B·H·W bytes each; zero-copy when the chunk divides H), so
+    batch size is bounded by HBM, not by a shifted-copy slab."""
     b, h, w = r.shape
     offs = _offsets(lag)
     k = len(offs)
     n_planes = k + (1 if has_aux else 0)
-    pad = lag
+    npp = 8 * -(-(n_planes + 1) // 8)  # +1 ones row, pad to sublanes
     wpad = -(-w // 128) * 128
-    hpad = -(-h // _CHUNK) * _CHUNK
-    n_chunks = hpad // _CHUNK
 
-    ri = r.astype(jnp.int16)
+    if mask_blocks:
+        # block rows must align with chunks: one mask row per chunk
+        chunk = mask_blocks
+        hb, wb = mask.shape[1], mask.shape[2]
+    else:
+        max_chunk = _X_BUDGET_BYTES // (npp * wpad * 4)
+        max_chunk = max(8, min(32, 8 * (max_chunk // 8)))
+        # prefer a chunk that divides h: the row pad becomes a no-op
+        # and an already-int16 residual feeds the kernel zero-copy
+        chunk = next(
+            (c for c in range(max_chunk, 7, -8) if h % c == 0), max_chunk
+        )
+        hb = wb = 0
+    hpad = -(-h // chunk) * chunk
+    n_chunks = hpad // chunk
 
-    # shifted copies: copy i holds r(p + offs[i]) at position p; edge
-    # zero-fill never contributes (the interior predicate excludes
-    # every p within `lag` of the frame border)
-    def shift(a, dr, dc):
-        return jnp.pad(
-            a,
-            ((0, 0), (max(-dr, 0), max(dr, 0) + hpad - h),
-             (max(-dc, 0), max(dc, 0))),
-        )[:, max(dr, 0) : max(dr, 0) + hpad, max(dc, 0) : max(dc, 0) + w]
+    ri = _pad_i16(r, hpad, wpad)
+    if mask_blocks:
+        vi = _pad_i16(val, hpad, wpad)
+    else:
+        # one packed plane instead of separate mask + value inputs:
+        # the binning value is <= 12 bits, the mask rides bit 14
+        vi = _pad_i16(
+            val + ((mask > 0).astype(jnp.int32) << 14), hpad, wpad
+        )
 
-    copies = [shift(ri, dr, dc) for dr, dc in offs]
-    if has_aux:
-        aux4 = jnp.pad((aux * 4.0).astype(jnp.int16), ((0, 0), (0, hpad - h), (0, 0)))
-        copies.append(aux4)
-    sh = jnp.stack(copies, axis=1)
-    sh = jnp.pad(sh, ((0, 0), (0, 0), (0, 0), (0, wpad - w)))
-
-    row = jnp.arange(hpad)[:, None]
-    col = jnp.arange(wpad)[None, :]
-    interior = (
-        (row >= pad) & (row < h - pad) & (col >= pad) & (col < w - pad)
-    )
-    mfull = jnp.pad(
-        (mask > 0).astype(jnp.int16), ((0, 0), (0, hpad - h), (0, wpad - w))
-    )
-    m2 = mfull | jnp.where(interior, mfull << 1, 0).astype(jnp.int16)
-
-    vali = jnp.pad(
-        val.astype(jnp.int16), ((0, 0), (0, hpad - h), (0, wpad - w))
-    )
-
-    n_pairs = n_planes * (n_planes + 1) // 2
-    out_rows = -(-(n_pairs + 1 + 3 * NUM_BINS) // 8) * 8
-    pair_ij = np.array(
-        [
-            (i << 5) | j
-            for i in range(n_planes)
-            for j in range(i, n_planes)
-        ],
-        np.int32,
-    )
-
-    from jax.experimental.pallas import tpu as pltpu
-
-    kernel = functools.partial(
-        _stats_kernel,
-        n_planes=n_planes,
-        bin_shift=bit_depth - 6,  # NUM_BINS = 64
-        out_rows=out_rows,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, _CHUNK, wpad), lambda bi, c, *_: (bi, c, 0)),
-            pl.BlockSpec(
-                (1, n_planes, _CHUNK, wpad), lambda bi, c, *_: (bi, 0, c, 0)
-            ),
-            pl.BlockSpec((1, _CHUNK, wpad), lambda bi, c, *_: (bi, c, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, out_rows, wpad), lambda bi, c, *_: (bi, 0, 0)
+    blk = lambda: pl.BlockSpec((1, chunk, wpad), lambda bi, c: (bi, c, 0))
+    inputs = [ri, ri, vi]
+    specs = [
+        pl.BlockSpec(
+            (1, chunk, wpad), lambda bi, c: (bi, jnp.maximum(c - 1, 0), 0)
         ),
+        blk(),
+        blk(),
+    ]
+    n_fixed = 3
+    if mask_blocks:
+        wbp = -(-wb // 128) * 128
+        fb = jnp.pad(
+            mask.astype(jnp.float32), ((0, 0), (0, 0), (0, wbp - wb))
+        )
+        e2 = _expand_cols(wb, wbp, wpad, mask_blocks)
+        inputs += [fb, e2]
+        specs += [
+            pl.BlockSpec((1, hb, wbp), lambda bi, c: (bi, 0, 0)),
+            pl.BlockSpec((wbp, wpad), lambda bi, c: (0, 0)),
+        ]
+        n_fixed = 5
+    if has_aux:
+        inputs.append(_pad_i16(aux * 4.0, hpad, wpad))
+        specs.append(blk())
+
+    mrows = 3 * NUM_BINS
+
+    def kern_wrap(*a, **kw):
+        ins, outs = list(a[: len(inputs)]), a[len(inputs) :]
+        rp_, rc_, v_ = ins[:3]
+        fb_ = e2_ = aux_ = None
+        if mask_blocks:
+            fb_, e2_ = ins[3:5]
+        if has_aux:
+            aux_ = ins[n_fixed]
+        return _stats_kernel(rp_, rc_, v_, fb_, e2_, aux_, *outs, **kw)
+
+    kern = functools.partial(
+        kern_wrap,
+        offs=offs,
+        lag=lag,
+        h=h,
+        w=w,
+        chunk=chunk,
+        npp=npp,
+        bin_shift=bit_depth - 6,  # NUM_BINS = 64
+        hb=hb,
+        fbs=mask_blocks,
     )
-    wide = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, out_rows, wpad), jnp.float32),
+    gram, mom = pl.pallas_call(
+        kern,
+        grid=(b, n_chunks),
+        in_specs=specs,
+        out_specs=(
+            pl.BlockSpec((1, npp, npp), lambda bi, c: (bi, 0, 0)),
+            pl.BlockSpec((1, mrows, wpad), lambda bi, c: (bi, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, npp, npp), jnp.float32),
+            jax.ShapeDtypeStruct((b, mrows, wpad), jnp.float32),
+        ),
         interpret=_interpret(),
-    )(jnp.asarray(pair_ij), m2, sh, vali)
-    out = jnp.sum(wide, axis=2)  # (B, out_rows) lane reduction in XLA
+    )(*inputs)
+    out = jnp.sum(mom, axis=2)  # (B, 192) lane reduction in XLA
 
-    # unpack: pairs upper-tri over n_planes, then n, then 64*(cnt,s,ss)
-    tri = {}
-    idx = 0
-    for i in range(n_planes):
-        for j in range(i, n_planes):
-            tri[(i, j)] = out[:, idx]
-            idx += 1
-    n_ar = out[:, idx]
-    idx += 1
-    moments = out[:, idx : idx + 3 * NUM_BINS].reshape(b, NUM_BINS, 3)
-
+    # Gram row layout: 0 = unshifted residual, 1..k-1 = shifted
+    # copies, [k] = aux when present, [n_planes] = ones/mask row
+    io = n_planes
+    n_ar = gram[:, io, io]
     kk = n_planes - 1  # design columns (shifted cols + optional aux)
-    ata = jnp.zeros((b, kk, kk), jnp.float32)
-    atb = jnp.zeros((b, kk), jnp.float32)
-    for i in range(kk):
-        atb = atb.at[:, i].set(tri[(0, i + 1)])
-        for j in range(i, kk):
-            v = tri[(i + 1, j + 1)]
-            ata = ata.at[:, i, j].set(v)
-            if j != i:
-                ata = ata.at[:, j, i].set(v)
+    ata = gram[:, 1 : 1 + kk, 1 : 1 + kk]
+    atb = gram[:, 0, 1 : 1 + kk]
     if has_aux:
         # aux plane was scaled x4: divide its ata row/col by 4, the
         # (aux, aux) entry by 16, and its atb entry by 4
         a = kk - 1
         ata = ata.at[:, a, :].divide(4.0).at[:, :, a].divide(4.0)
         atb = atb.at[:, a].divide(4.0)
+    moments = out.reshape(b, NUM_BINS, 3)
     return dict(
         ata=ata,
         atb=atb,
