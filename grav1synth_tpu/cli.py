@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("inspect", help="write a grain table from a video's grain headers")
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True, help="grain table file to write")
+    p.add_argument("-y", action="store_true", help="overwrite output without asking")
     p.add_argument(
         "--shards",
         type=int,
@@ -121,12 +122,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("-y", action="store_true", help="overwrite output without asking")
     p.add_argument("--raw", help="also write raw per-frame sigma estimates here")
 
     p = sub.add_parser("diff", help="estimate a grain table from source vs denoised")
     p.add_argument("source")
     p.add_argument("denoised")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("-y", action="store_true", help="overwrite output without asking")
     p.add_argument(
         "--filters",
         help="source preprocessing, e.g. "
@@ -181,6 +184,7 @@ def main(argv=None) -> int:
     from . import pipelines
 
     if args.command == "inspect":
+        _check_paths(args.input, args.output, args.y)
         with open(args.input, "rb") as fh:
             is_ivf = fh.read(4) == b"DKIF"
         if args.shards > 1 and is_ivf:
@@ -233,11 +237,17 @@ def main(argv=None) -> int:
         )
         print(f"Done, rendered {n} frames")
     elif args.command == "estimate":
+        _check_paths(args.input, args.output, args.y)
+        if args.raw:
+            _check_paths(args.input, args.raw, args.y)
         segments = pipelines.estimate(args.input, args.output, args.raw)
         print(f"Done, wrote grain table ({len(segments)} segments)")
     elif args.command == "diff":
         if os.path.abspath(args.source) == os.path.abspath(args.denoised):
             sys.exit("error: source and denoised cannot be the same file")
+        if os.path.abspath(args.denoised) == os.path.abspath(args.output):
+            sys.exit("error: input and output files cannot be the same")
+        _check_paths(args.source, args.output, args.y)
         segments = pipelines.diff(
             args.source, args.denoised, args.output, args.filters,
             batch=args.batch, shards=args.shards,

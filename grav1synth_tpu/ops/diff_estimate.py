@@ -615,25 +615,42 @@ def mesh_pair_stats_per_frame(
     a custom call the partitioner cannot split); the per-frame stats
     come back tiny, so the gather is negligible. Output tables are
     identical to the serial path at any shard count."""
+    fn = _mesh_pair_stats_fn(mesh, lag, bit_depth, sub_x, sub_y, has_chroma)
+    if has_chroma:
+        args = [jnp.asarray(a, jnp.int32) for a in (sy, dy, sc, dc, sr, dr)]
+    else:
+        args = [jnp.asarray(sy, jnp.int32), jnp.asarray(dy, jnp.int32)]
+    with mesh:
+        out = fn(*args)
+    if has_chroma:
+        return out
+    return out, None, None
+
+
+@functools.lru_cache(maxsize=64)
+def _mesh_pair_stats_fn(mesh, lag, bit_depth, sub_x, sub_y, has_chroma):
+    """Jitted shard_map stats step, cached per (mesh, static config):
+    DiffEstimator.diff_batch invokes this once per ~16-frame batch in
+    the --shards production path, and rebuilding the closure per call
+    would retrace the sharded program every batch."""
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
     shard = P(axis)
 
-    def step(*args):
-        return batch_pair_stats_per_frame(
-            *args, lag=lag, bit_depth=bit_depth, sub_x=sub_x, sub_y=sub_y,
-            has_chroma=has_chroma,
-        )
-
     if has_chroma:
-        args = [jnp.asarray(a, jnp.int32) for a in (sy, dy, sc, dc, sr, dr)]
+
+        def step(*args):
+            return batch_pair_stats_per_frame(
+                *args, lag=lag, bit_depth=bit_depth, sub_x=sub_x,
+                sub_y=sub_y, has_chroma=True,
+            )
+
         in_specs = (shard,) * 6
         out_specs = (shard, shard, shard)
     else:
-        args = [jnp.asarray(sy, jnp.int32), jnp.asarray(dy, jnp.int32)]
 
-        def step(sy_, dy_):  # noqa: F811 — mono arity
+        def step(sy_, dy_):
             return batch_pair_stats_per_frame(
                 sy_, dy_, None, None, None, None,
                 lag=lag, bit_depth=bit_depth, sub_x=sub_x, sub_y=sub_y,
@@ -646,11 +663,7 @@ def mesh_pair_stats_per_frame(
         step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
-    with mesh:
-        out = jax.jit(mapped)(*args)
-    if has_chroma:
-        return out
-    return out, None, None
+    return jax.jit(mapped)
 
 
 def sharded_diff_stats(
@@ -666,10 +679,33 @@ def sharded_diff_stats(
     prescribes for diff statistics. Returns (y_stats, cb_stats|None,
     cr_stats|None) as replicated host arrays, exactly equal to the
     serial per-frame sums."""
+    has_chroma = len(src_planes) >= 3
+    fn = _sharded_diff_stats_fn(mesh, lag, bit_depth, has_chroma)
+    if has_chroma:
+        args = [
+            jnp.asarray(p, jnp.int32)
+            for pair in zip(src_planes, den_planes)
+            for p in pair
+        ]
+    else:
+        args = [
+            jnp.asarray(src_planes[0], jnp.int32),
+            jnp.asarray(den_planes[0], jnp.int32),
+        ]
+    with mesh:
+        out = fn(*args)
+    if has_chroma:
+        return out
+    return out[0], None, None
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_diff_stats_fn(mesh, lag, bit_depth, has_chroma):
+    """Jitted psum reduction step, cached per (mesh, static config) so
+    repeated batches do not retrace the sharded program."""
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
-    has_chroma = len(src_planes) >= 3
     shard = P(axis)
 
     def psum_dict(d):
@@ -690,11 +726,6 @@ def sharded_diff_stats(
             )
             return y, cb, cr
 
-        args = [
-            jnp.asarray(p, jnp.int32)
-            for pair in zip(src_planes, den_planes)
-            for p in pair
-        ]
         in_specs = (shard,) * 6
         out_specs = (P(), P(), P())
     else:
@@ -702,21 +733,13 @@ def sharded_diff_stats(
         def step(sy, dy):
             return (psum_dict(batch_pair_stats(sy, dy, lag, bit_depth)),)
 
-        args = [
-            jnp.asarray(src_planes[0], jnp.int32),
-            jnp.asarray(den_planes[0], jnp.int32),
-        ]
         in_specs = (shard, shard)
         out_specs = (P(),)
     mapped = jax.shard_map(
         step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
-    with mesh:
-        out = jax.jit(mapped)(*args)
-    if has_chroma:
-        return out
-    return out[0], None, None
+    return jax.jit(mapped)
 
 
 class DiffEstimator:

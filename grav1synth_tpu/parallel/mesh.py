@@ -89,9 +89,23 @@ def sharded_apply_with_stats(
     split, so each device runs the full per-shard kernel on its local
     frames and only the scalar statistics cross devices (psum). The
     parameter batch shards along frames exactly like the planes."""
+    fn = _sharded_apply_fn(
+        mesh, bit_depth, sub_x, sub_y, monochrome, backend
+    )
+    with mesh:
+        return fn(y, cb, cr, p)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_apply_fn(
+    mesh: Mesh, bit_depth, sub_x, sub_y, monochrome, backend
+):
+    """Jitted shard_map apply step, cached per (mesh, static config):
+    rebuilding the closure per call would retrace (and, without the
+    persistent cache, recompile) the sharded program on every batch of
+    the render --shards flush loop."""
     axis = mesh.axis_names[0]
     shard = P(axis)
-    none_spec = None
 
     fn = functools.partial(
         _apply_step,
@@ -102,7 +116,7 @@ def sharded_apply_with_stats(
         backend=backend,
         axis=axis,
     )
-    plane = none_spec if monochrome else shard
+    plane = None if monochrome else shard
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
@@ -112,8 +126,7 @@ def sharded_apply_with_stats(
         # so the vma consistency check cannot see through the kernel
         check_vma=False,
     )
-    with mesh:
-        return jax.jit(mapped)(y, cb, cr, p)
+    return jax.jit(mapped)
 
 
 def sharded_apply(mesh: Mesh, y, cb, cr, p, bit_depth, **kw):

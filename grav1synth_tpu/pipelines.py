@@ -437,10 +437,17 @@ def diff(
     runs batched on device: ``batch`` frame pairs per dispatch through
     ops.diff_estimate.batch_pair_stats_per_frame, with the batch axis
     sharded over a ``shards``-device mesh when requested. Output tables
-    are identical at any (batch, shards) setting."""
+    are identical at any (batch, shards) setting.
+
+    Both decoders run on prefetch threads (SURVEY §2 P1): the two
+    dav1d instances decode concurrently with each other and with the
+    device's statistics reduction over the previous batch, so wall
+    clock approaches max(decode_src, decode_den, device) instead of
+    their sum."""
     from .container.ffshim import Decoder
     from .ops.diff_estimate import DiffEstimator
     from .utils.filters import FilterChain
+    from .utils.prefetch import PrefetchIterator
 
     chain = FilterChain.parse(filters) if filters else None
     mesh = None
@@ -463,8 +470,11 @@ def diff(
 
         def frames_of(vf):
             dec = Decoder("libdav1d", apply_grain=False)
-            return dec.decode_all(
-                (_decodable(p), p.pts) for p in vf.packets() if p.is_video
+            return PrefetchIterator(
+                dec.decode_all(
+                    (_decodable(p), p.pts) for p in vf.packets() if p.is_video
+                ),
+                depth=batch,
             )
 
         src_it = frames_of(vs)
@@ -514,6 +524,8 @@ def diff(
             n += 1
             bar.step()
         flush()
+        src_it.close()
+        den_it.close()
         bar.done()
         segments = est.finish() if est is not None else []
         dump_table(segments, output_path)
@@ -599,12 +611,20 @@ def render(
     ``shards`` spreads each batch's frames over an N-device mesh
     (parallel.mesh.sharded_apply: the production shard_map running the
     Pallas kernels per device) — output is identical to --shards 1.
+
+    The three stages are pipelined (SURVEY §2 P1): decode runs on a
+    prefetch thread, the device dispatch is asynchronous, and each
+    batch's download+mux happens while the device runs the next batch,
+    so wall clock approaches max(decode, device, mux) instead of their
+    sum. Ordering is a single FIFO — output bytes are identical to the
+    serial loop.
     """
     import numpy as np
 
     from .container.ffshim import Decoder
     from .container.y4m import Y4mWriter
     from .ops import grain_jax
+    from .utils.prefetch import PrefetchIterator
 
     mesh = None
     if shards > 1:
@@ -644,11 +664,10 @@ def render(
         writer: Optional[Y4mWriter] = None
         bar = Progress(total=vf.nb_frames or None, enabled=progress, unit="fr")
         pend: list = []  # [(Frame, params)]
+        inflight: list = []  # dispatched batches awaiting download+mux
         frames_out = 0
-        next_param = 0
 
-        def flush() -> None:
-            nonlocal frames_out
+        def dispatch() -> None:
             if not pend:
                 return
             bd = pend[0][0].bit_depth
@@ -694,6 +713,21 @@ def render(
                         y, cb, cr, pb, bd, sub[0], sub[1], False,
                         backend="pallas", host_params=hp,
                     )
+            if not todo:
+                yo = cbo = cro = None
+            # the device work is dispatched asynchronously; downloads
+            # happen in drain() one batch behind, overlapping mux with
+            # the next batch's kernels
+            inflight.append((todo, yo, cbo, cro, outs, bd, mono))
+            pend.clear()
+            while len(inflight) > 1:
+                drain()
+
+        def drain() -> None:
+            nonlocal frames_out
+            if not inflight:
+                return
+            todo, yo, cbo, cro, outs, bd, mono = inflight.pop(0)
             if todo:
                 dt = np.uint8 if bd == 8 else np.uint16
                 for k, i in enumerate(todo):
@@ -705,15 +739,24 @@ def render(
                 writer.write_frame(planes)
                 frames_out += 1
                 bar.step()
-            pend.clear()
 
-        for frame in dec.decode_all(packet_feed()):
-            if next_param >= len(params_q):
-                # decoder produced a frame we have no header for; treat
-                # as grainless rather than desync
-                params_q.append(None)
-            params = params_q[next_param]
-            next_param += 1
+        def decoded_pairs():
+            """Decode + pair each displayed frame with its parsed grain
+            params; runs entirely on the prefetch thread."""
+            next_param = 0
+            for frame in dec.decode_all(packet_feed()):
+                if next_param >= len(params_q):
+                    log.warning(
+                        "decoder emitted frame %d with no parsed frame "
+                        "header queued; treating it as grainless",
+                        next_param,
+                    )
+                    params_q.append(None)
+                params = params_q[next_param]
+                next_param += 1
+                yield frame, params
+
+        for frame, params in PrefetchIterator(decoded_pairs(), depth=batch):
             if writer is None:
                 writer = Y4mWriter(
                     output_path,
@@ -738,11 +781,13 @@ def render(
                 pend[0][0].subsampling,
                 len(pend[0][0].planes),
             ):
-                flush()
+                dispatch()
             pend.append((frame, params))
             if len(pend) >= batch:
-                flush()
-        flush()
+                dispatch()
+        dispatch()
+        while inflight:
+            drain()
         dec.close()
         if writer is not None:
             writer.close()

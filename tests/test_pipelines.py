@@ -413,6 +413,43 @@ class TestCli:
         with pytest.raises(SystemExit):
             main(["remove", real_ivf, "-o", real_ivf])
 
+    def test_cli_guards_all_writing_subcommands(self, real_ivf, tmp_path):
+        """Reference parity (main.rs:152-171,362-368): EVERY writing
+        subcommand — including inspect, diff, estimate — rejects
+        input==output and refuses to overwrite without -y."""
+        from grav1synth_tpu.cli import main
+
+        for argv in (
+            ["inspect", real_ivf, "-o", real_ivf],
+            ["estimate", real_ivf, "-o", real_ivf],
+            ["diff", real_ivf, real_ivf + ".x", "-o", real_ivf],
+            ["diff", real_ivf, real_ivf, "-o", str(tmp_path / "t.tbl")],
+        ):
+            with pytest.raises(SystemExit):
+                main(argv)
+        # overwrite refusal without -y (stdin is not a tty under pytest)
+        existing = tmp_path / "exists.tbl"
+        existing.write_text("filmgrn1\n")
+        for argv in (
+            ["inspect", real_ivf, "-o", str(existing)],
+            ["estimate", real_ivf, "-o", str(existing)],
+            ["diff", real_ivf, real_ivf + ".x", "-o", str(existing)],
+        ):
+            with pytest.raises(SystemExit):
+                main(argv)
+
+    def test_cli_inspect_accepts_y(self, real_ivf, grain_table, tmp_path):
+        """`inspect ... -y` parses and overwrites an existing table
+        (the reference accepts -y on inspect, main.rs:160-167)."""
+        from grav1synth_tpu.cli import main
+
+        grainy = tmp_path / "g.ivf"
+        assert main(["apply", real_ivf, "-o", str(grainy), "-g", grain_table, "-y"]) == 0
+        tbl = tmp_path / "t.tbl"
+        tbl.write_text("stale\n")
+        assert main(["inspect", str(grainy), "-o", str(tbl), "-y"]) == 0
+        assert tbl.read_text().startswith("filmgrn1")
+
     def test_cli_inspect_shards(self, real_ivf, grain_table, tmp_path):
         """inspect --shards N produces the identical table to serial."""
         from grav1synth_tpu.cli import main
