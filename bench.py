@@ -46,14 +46,18 @@ def _params(batch):
     return out
 
 
-def measure_tpu_fps(params=None) -> float:
+def _setup_compile_cache() -> None:
+    """Persistent XLA compile cache: first-ever bench run pays the
+    (remote-runtime) compile, every later run loads from disk."""
     import jax
 
-    # persistent XLA compile cache: first-ever bench run pays the
-    # (remote-runtime) compile, every later run loads from disk
     os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def measure_tpu_fps(params=None) -> float:
+    _setup_compile_cache()
 
     import jax.numpy as jnp
     from grav1synth_tpu.ops import grain_jax
@@ -110,16 +114,10 @@ def measure_tpu_fps(params=None) -> float:
     return max(runs), runs
 
 
-def measure_dav1d_baseline_fps() -> float:
-    """Single-thread dav1d grain-synthesis fps on the same 4K10 content
-    (the decode-path cost the reference delegates grain application to)."""
-    from grav1synth_tpu.container.ffshim import Decoder, Encoder
-    from grav1synth_tpu.container.ivf import (
-        IvfHeader,
-        IvfPacket,
-        read_ivf,
-        write_ivf,
-    )
+def _grainy_4k10_ivf() -> str:
+    """4K10 grainy fixture (6-frame keyframe-led GOP, cached)."""
+    from grav1synth_tpu.container.ffshim import Encoder
+    from grav1synth_tpu.container.ivf import IvfHeader, IvfPacket, write_ivf
     from grav1synth_tpu.obu import Av1Parser, GrainRewriter, GrainTableSegment
 
     os.makedirs(CACHE, exist_ok=True)
@@ -154,7 +152,16 @@ def measure_dav1d_baseline_fps() -> float:
             IvfHeader(width=W, height=H, frame_count=len(out)),
             [IvfPacket(i, d) for i, d in enumerate(out)],
         )
-    _, pkts = read_ivf(path)
+    return path
+
+
+def measure_dav1d_baseline_fps() -> float:
+    """Single-thread dav1d grain-synthesis fps on the same 4K10 content
+    (the decode-path cost the reference delegates grain application to)."""
+    from grav1synth_tpu.container.ffshim import Decoder
+    from grav1synth_tpu.container.ivf import read_ivf
+
+    _, pkts = read_ivf(_grainy_4k10_ivf())
     # loop the GOP several times so the grain-synthesis delta rises well
     # above decode timing noise (the stream starts at a keyframe, so
     # repetition is decodable)
@@ -301,6 +308,129 @@ def measure_diff_stats_fps():
     return fps_1080, fps_4k, temp_mb_4k
 
 
+def _looped_ivf(src_path: str, out_path: str, loops: int) -> str:
+    """Repeat a keyframe-led GOP ``loops`` times into one decodable IVF
+    (the stream starts at a keyframe, so concatenation is valid)."""
+    from grav1synth_tpu.container.ivf import (
+        IvfHeader, IvfPacket, read_ivf, write_ivf,
+    )
+
+    if os.path.exists(out_path):
+        return out_path
+    hdr, pkts = read_ivf(src_path)
+    out = [p.data for _ in range(loops) for p in pkts]
+    write_ivf(
+        out_path,
+        IvfHeader(width=hdr.width, height=hdr.height, frame_count=len(out)),
+        [IvfPacket(i, d) for i, d in enumerate(out)],
+    )
+    return out_path
+
+
+def _grainy_1080p_ivf() -> str:
+    """1080p8 grainy fixture: smooth content + spliced grain params
+    (cached; built from the host-rewrite fixture's packets)."""
+    from grav1synth_tpu.container.ivf import IvfHeader, IvfPacket, write_ivf
+    from grav1synth_tpu.obu import Av1Parser, GrainRewriter, GrainTableSegment
+
+    path = os.path.join(CACHE, "bench_1080p_grainy.ivf")
+    if os.path.exists(path):
+        return path
+    import pickle
+
+    measure_host_rewrite_fps()  # ensures bench_1080p_pkts.pkl exists
+    with open(os.path.join(CACHE, "bench_1080p_pkts.pkl"), "rb") as fh:
+        datas = pickle.load(fh)
+    seg = GrainTableSegment(0, 10**14, _params(1)[0])
+    parser = Av1Parser()
+    rw = GrainRewriter([seg])
+    out = []
+    for data, pts in datas:
+        ts = -(-pts * 10_000_000 // 30)
+        parsed = parser.parse_packet(data, ts)
+        out.append(rw.rewrite_packet(data, parsed, ts, parser.sequence_header))
+    write_ivf(
+        path,
+        IvfHeader(width=1920, height=1080, frame_count=len(out)),
+        [IvfPacket(i, d) for i, d in enumerate(out)],
+    )
+    return path
+
+
+def measure_render_e2e():
+    """End-to-end `render` throughput — decode (threaded dav1d) +
+    TPU grain synthesis + y4m mux, as a user runs it — at 1080p8 and
+    4K10, plus the decode-only fps of the same streams as the stage
+    attribution (render is decode-bound when render_fps ~= decode_fps;
+    the prefetch pipeline hides the smaller stage)."""
+    import time as _t
+
+    from grav1synth_tpu import pipelines
+    from grav1synth_tpu.container.ffshim import Decoder
+    from grav1synth_tpu.container.ivf import read_ivf
+
+    _setup_compile_cache()
+    rows = {}
+    fixtures = {
+        "1080p8": _looped_ivf(_grainy_1080p_ivf(),
+                              os.path.join(CACHE, "bench_1080p_grainy_x2.ivf"), 2),
+        "4k10": _looped_ivf(_grainy_4k10_ivf(),
+                            os.path.join(CACHE, "bench_4k10_grainy_x8.ivf"), 8),
+    }
+    for tag, path in fixtures.items():
+        # decode-only fps (threaded dav1d, grain off — the stage the
+        # reference delegates to players)
+        _, pkts = read_ivf(path)
+        data = [(p.data, i) for i, p in enumerate(pkts)]
+        dec = Decoder("libdav1d", apply_grain=False)
+        t0 = _t.time()
+        n_dec = sum(1 for _ in dec.decode_all(data))
+        rows[f"render_decode_only_fps_{tag}"] = round(n_dec / (_t.time() - t0), 1)
+        dec.close()
+        runs = []
+        for _ in range(3):
+            out = os.path.join(CACHE, f"render_{tag}.y4m")
+            t0 = _t.time()
+            n = pipelines.render(path, out, batch=16, progress=False)
+            runs.append(n / (_t.time() - t0))
+            os.remove(out)
+        rows[f"render_fps_{tag}"] = round(max(runs), 1)
+        rows[f"render_fps_{tag}_sigma"] = round(float(np.std(runs)), 1)
+    return rows
+
+
+def measure_diff_e2e():
+    """End-to-end `diff` throughput at 1080p8 — two threaded dav1d
+    decodes + the batched device statistics reduction + table fit, as
+    a user runs it. The "denoised" input is the same stream with its
+    grain headers stripped (pipelines.remove), so geometry matches by
+    construction."""
+    import time as _t
+
+    from grav1synth_tpu import pipelines
+    from grav1synth_tpu.container.ivf import read_ivf
+
+    _setup_compile_cache()
+    base = _grainy_1080p_ivf()
+    clean = os.path.join(CACHE, "bench_1080p_clean.ivf")
+    if not os.path.exists(clean):
+        pipelines.remove(base, clean, progress=False)
+    src = _looped_ivf(base, os.path.join(CACHE, "bench_1080p_grainy_x2.ivf"), 2)
+    den = _looped_ivf(clean, os.path.join(CACHE, "bench_1080p_clean_x2.ivf"), 2)
+    n = len(read_ivf(src)[1])
+    runs = []
+    for _ in range(3):
+        out = os.path.join(CACHE, "diff_e2e.tbl")
+        t0 = _t.time()
+        pipelines.diff(src, den, out, progress=False, batch=16)
+        runs.append(n / (_t.time() - t0))
+        os.remove(out)
+    return {
+        "diff_e2e_fps_1080p8": round(max(runs), 1),
+        "diff_e2e_fps_1080p8_sigma": round(float(np.std(runs)), 1),
+    }
+
+
 def main() -> None:
     result = {
         "metric": "4K10 grain apply throughput",
@@ -325,11 +455,19 @@ def main() -> None:
             result["host_rewrite_error"] = str(e)[:200]
         try:
             d1080, d4k, dmem = measure_diff_stats_fps()
-            result["diff_stats_fps_1080p"] = round(d1080, 1)
+            result["diff_stats_fps_1080p8"] = round(d1080, 1)
             result["diff_stats_fps_4k10"] = round(d4k, 1)
             result["diff_stats_temp_mb_4k10"] = round(dmem, 1)
         except Exception as e:
             result["diff_error"] = str(e)[:200]
+        try:
+            result.update(measure_render_e2e())
+        except Exception as e:
+            result["render_e2e_error"] = str(e)[:200]
+        try:
+            result.update(measure_diff_e2e())
+        except Exception as e:
+            result["diff_e2e_error"] = str(e)[:200]
         try:
             # the dav1d baseline is a host-side constant: measure once,
             # cache the number (delete .bench_cache to re-measure)

@@ -226,9 +226,17 @@ GravRemux* grav_remux_open(const char* path, GravDemux* in, char* err,
     if (in->fmt->nb_chapters) {
         m->fmt->chapters = (AVChapter**)av_calloc(in->fmt->nb_chapters,
                                                   sizeof(AVChapter*));
+        if (!m->fmt->chapters) {
+            set_averr(err, errlen, "chapter alloc", AVERROR(ENOMEM));
+            return fail();
+        }
         for (unsigned i = 0; i < in->fmt->nb_chapters; i++) {
             AVChapter* ic = in->fmt->chapters[i];
             AVChapter* oc = (AVChapter*)av_mallocz(sizeof(AVChapter));
+            if (!oc) {
+                set_averr(err, errlen, "chapter alloc", AVERROR(ENOMEM));
+                return fail();
+            }
             *oc = *ic;
             oc->metadata = nullptr;
             av_dict_copy(&oc->metadata, ic->metadata, 0);
@@ -296,6 +304,7 @@ int grav_demux_disposition(GravDemux* d, int idx) {
 // Serializes a metadata dict as "key=value\n..." lines. stream = -1 for the
 // container-level dict. Returns bytes written (excl. NUL), or -1.
 int grav_demux_meta(GravDemux* d, int stream, char* out, int outlen) {
+    if (outlen <= 0) return -1;
     AVDictionary* dict = nullptr;
     if (stream < 0) {
         dict = d->fmt->metadata;
@@ -452,6 +461,7 @@ int grav_make_multistream(const char* video_in, const char* out_path,
             };
             oss->codecpar->extradata =
                 (uint8_t*)av_mallocz(sizeof(tx3g) + AV_INPUT_BUFFER_PADDING_SIZE);
+            if (!oss->codecpar->extradata) return -1;
             std::memcpy(oss->codecpar->extradata, tx3g, sizeof(tx3g));
             oss->codecpar->extradata_size = sizeof(tx3g);
         }
@@ -463,12 +473,14 @@ int grav_make_multistream(const char* video_in, const char* out_path,
         int64_t half_ms = (int64_t)(dur_s * 500);
         for (int i = 0; i < 2; i++) {
             AVChapter* ch = (AVChapter*)av_mallocz(sizeof(AVChapter));
+            if (!ch) return -1;
             ch->id = i + 1;
             ch->time_base = {1, 1000};
             ch->start = i * half_ms;
             ch->end = (i + 1) * half_ms;
             av_dict_set(&ch->metadata, "title", i ? "part two" : "part one", 0);
             av_dynarray_add(&out->chapters, (int*)&out->nb_chapters, ch);
+            if (!out->chapters) return -1;
         }
     }
 

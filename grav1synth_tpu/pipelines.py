@@ -715,6 +715,16 @@ def render(
                     )
             if not todo:
                 yo = cbo = cro = None
+            else:
+                # convert to the mux dtype ON DEVICE: device->host
+                # transfer bytes halve for 8-bit content (transfers are
+                # the render bottleneck on remote-attached devices)
+                import jax.numpy as jnp
+
+                dt = jnp.uint8 if bd == 8 else jnp.uint16
+                yo = yo.astype(dt)
+                if cbo is not None:
+                    cbo, cro = cbo.astype(dt), cro.astype(dt)
             # the device work is dispatched asynchronously; downloads
             # happen in drain() one batch behind, overlapping mux with
             # the next batch's kernels
@@ -729,12 +739,11 @@ def render(
                 return
             todo, yo, cbo, cro, outs, bd, mono = inflight.pop(0)
             if todo:
-                dt = np.uint8 if bd == 8 else np.uint16
                 for k, i in enumerate(todo):
-                    outs[i][0] = np.asarray(yo[k]).astype(dt)
+                    outs[i][0] = np.asarray(yo[k])
                     if not mono and cbo is not None:
-                        outs[i][1] = np.asarray(cbo[k]).astype(dt)
-                        outs[i][2] = np.asarray(cro[k]).astype(dt)
+                        outs[i][1] = np.asarray(cbo[k])
+                        outs[i][2] = np.asarray(cro[k])
             for planes in outs:
                 writer.write_frame(planes)
                 frames_out += 1
@@ -804,10 +813,11 @@ def estimate(
 ) -> List[GrainTableSegment]:
     """Single-input noise estimation (experimental; completes the
     reference's half-finished unstable pipeline, main.rs:534-608):
-    writes a grain table — AR-aware, via the diff pipeline's solver on
-    blur-residual statistics — and optionally the raw per-frame sigma
-    estimates the reference emitted. Frames batch through one device
-    dispatch per 16 (ops.estimate.batch_self_stats)."""
+    writes a grain table — AR-aware for luma AND chroma, via the diff
+    pipeline's solver on blur-residual statistics (the chroma design
+    carries the collocated-luma column) — and optionally the raw
+    per-frame sigma estimates the reference emitted. Frames batch
+    through one device dispatch per 16 (ops.estimate.batch_self_stats)."""
     from .container.ffshim import Decoder
     from .ops.estimate import NoiseEstimator
 
@@ -821,10 +831,12 @@ def estimate(
         ):
             if est is None:
                 est = NoiseEstimator(vf.fps, frame.bit_depth)
-            if pend and pend[-1].shape != frame.planes[0].shape:
+            if pend and [p.shape for p in pend[-1]] != [
+                p.shape for p in frame.planes
+            ]:
                 est.push_batch(pend)
                 pend.clear()
-            pend.append(frame.planes[0])
+            pend.append(list(frame.planes))
             if len(pend) >= 16:
                 est.push_batch(pend)
                 pend.clear()

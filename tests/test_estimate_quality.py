@@ -150,3 +150,110 @@ class TestEstimateQuality:
         assert len(t1) == len(t2) == 1
         assert t1[0].params.equal_ignoring_seed(t2[0].params)
         assert np.allclose(e1.per_frame_sigma, e2.per_frame_sigma, atol=1e-3)
+
+
+def true_params_chroma() -> FilmGrainParams:
+    """Known grain with real chroma character: explicit chroma curves,
+    nonzero chroma AR coefficients including the cross-plane term, and
+    the identity chroma-scaling linearization the estimator assumes."""
+    return FilmGrainParams(
+        grain_seed=2025,
+        scaling_points_y=[(0, 30), (120, 52), (255, 30)],
+        scaling_points_cb=[(0, 26), (128, 40), (255, 22)],
+        scaling_points_cr=[(0, 34), (100, 22), (255, 30)],
+        scaling_shift=8,
+        ar_coeff_lag=2,
+        ar_coeffs_y=[4, -2, 8, 2, -10, 6, 3, -2, 12, 1, -5, 38],
+        ar_coeffs_cb=[2, -1, 6, 1, -8, 5, 2, -1, 10, 0, -4, 30, 18],
+        ar_coeffs_cr=[3, 0, 5, 2, -6, 4, 1, -2, 9, 1, -3, 26, -14],
+        ar_coeff_shift=7,
+        cb_mult=192, cb_luma_mult=128, cb_offset=256,
+        cr_mult=192, cr_luma_mult=128, cr_offset=256,
+        overlap_flag=True,
+    )
+
+
+def smooth_clip_chroma(n=12, h=256, w=320, seed=4):
+    """[y, cb, cr] smooth frames with intensity sweeps on every plane."""
+    ys = smooth_clip(n, h, w, seed)
+    yy, xx = np.mgrid[0 : h // 2, 0 : w // 2]
+    cb = np.clip(60 + 150 * (xx / (w // 2)) + 10 * (yy / (h // 2)), 0, 255)
+    cr = np.clip(210 - 160 * (xx / (w // 2)) - 8 * (yy / (h // 2)), 0, 255)
+    return [
+        [y, cb.astype(np.int32).copy(), cr.astype(np.int32).copy()]
+        for y in ys
+    ]
+
+
+def inject_chroma(frames, params):
+    import dataclasses
+
+    out = []
+    for i, planes in enumerate(frames):
+        p = dataclasses.replace(
+            params, grain_seed=(params.grain_seed + i * 173) & 0xFFFF
+        )
+        out.append(grain_ref.apply_grain_frame(list(planes), p, 8, 1, 1))
+    return out
+
+
+def sigma_curve_chroma(params, xs, plane):
+    pat = grain_ref.generate_grain(params, 8, False, 1, 1)
+    pp = pat.cb if plane == "cb" else pat.cr
+    pts = (
+        params.scaling_points_cb if plane == "cb" else params.scaling_points_cr
+    )
+    sg = float(pp[3:, 3:-3].astype(np.float64).std())
+    lut = grain_ref.build_scaling_lut(pts, 8)
+    return np.array([lut[x] * sg / (1 << params.scaling_shift) for x in xs])
+
+
+@pytest.fixture(scope="module")
+def recovered_chroma():
+    params = true_params_chroma()
+    clean = smooth_clip_chroma()
+    grainy = inject_chroma(clean, params)
+    est = NoiseEstimator((24, 1), bit_depth=8)
+    est.push_batch(grainy[:7])
+    est.push_batch(grainy[7:])
+    segs = est.finish()
+    assert len(segs) == 1
+    return params, segs[0].params
+
+
+class TestEstimateChroma:
+    """Chroma-aware single-input estimation quality bars — the part of
+    the reference's estimate that never existed at all (its unstable
+    pipeline only ever touched plane 0, main.rs:570)."""
+
+    def test_chroma_fitted(self, recovered_chroma):
+        _, got = recovered_chroma
+        assert got.scaling_points_cb, "cb scaling points missing"
+        assert got.scaling_points_cr, "cr scaling points missing"
+        assert any(c != 0 for c in got.ar_coeffs_cb)
+        assert any(c != 0 for c in got.ar_coeffs_cr)
+
+    @pytest.mark.parametrize("plane", ["cb", "cr"])
+    def test_chroma_curve_error(self, recovered_chroma, plane):
+        injected, got = recovered_chroma
+        xs = np.arange(70, 200)
+        want = sigma_curve_chroma(injected, xs, plane)
+        have = sigma_curve_chroma(got, xs, plane)
+        rel = np.abs(have - want) / np.maximum(want, 1e-6)
+        assert float(np.median(rel)) < 0.25, float(np.median(rel))
+
+    def test_chroma_resynthesized_energy(self, recovered_chroma):
+        injected, got = recovered_chroma
+        clean = smooth_clip_chroma(n=3, seed=9)
+        e_inj = np.zeros(2)
+        e_got = np.zeros(2)
+        for planes in clean:
+            a = grain_ref.apply_grain_frame(list(planes), injected, 8, 1, 1)
+            b = grain_ref.apply_grain_frame(list(planes), got, 8, 1, 1)
+            for k in (1, 2):
+                e_inj[k - 1] += float(((a[k] - planes[k]) ** 2).mean())
+                e_got[k - 1] += float(((b[k] - planes[k]) ** 2).mean())
+        for k in range(2):
+            assert e_got[k] == pytest.approx(e_inj[k], rel=0.40), (
+                k, e_inj[k], e_got[k],
+            )
