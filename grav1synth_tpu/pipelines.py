@@ -447,7 +447,7 @@ def diff(
     from .container.ffshim import Decoder
     from .ops.diff_estimate import DiffEstimator
     from .utils.filters import FilterChain
-    from .utils.prefetch import PrefetchIterator
+    from .utils.prefetch import maybe_prefetch
 
     chain = FilterChain.parse(filters) if filters else None
     mesh = None
@@ -470,7 +470,7 @@ def diff(
 
         def frames_of(vf):
             dec = Decoder("libdav1d", apply_grain=False)
-            return PrefetchIterator(
+            return maybe_prefetch(
                 dec.decode_all(
                     (_decodable(p), p.pts) for p in vf.packets() if p.is_video
                 ),
@@ -624,7 +624,7 @@ def render(
     from .container.ffshim import Decoder
     from .container.y4m import Y4mWriter
     from .ops import grain_jax
-    from .utils.prefetch import PrefetchIterator
+    from .utils.prefetch import maybe_prefetch
 
     mesh = None
     if shards > 1:
@@ -739,11 +739,16 @@ def render(
                 return
             todo, yo, cbo, cro, outs, bd, mono = inflight.pop(0)
             if todo:
+                # one transfer per plane-batch: per-frame slice fetches
+                # each pay a full round trip on remote-device runtimes
+                ys = np.asarray(yo)
+                cbs = None if (mono or cbo is None) else np.asarray(cbo)
+                crs = None if cbs is None else np.asarray(cro)
                 for k, i in enumerate(todo):
-                    outs[i][0] = np.asarray(yo[k])
-                    if not mono and cbo is not None:
-                        outs[i][1] = np.asarray(cbo[k])
-                        outs[i][2] = np.asarray(cro[k])
+                    outs[i][0] = ys[k]
+                    if cbs is not None:
+                        outs[i][1] = cbs[k]
+                        outs[i][2] = crs[k]
             for planes in outs:
                 writer.write_frame(planes)
                 frames_out += 1
@@ -765,7 +770,7 @@ def render(
                 next_param += 1
                 yield frame, params
 
-        for frame, params in PrefetchIterator(decoded_pairs(), depth=batch):
+        for frame, params in maybe_prefetch(decoded_pairs(), depth=batch):
             if writer is None:
                 writer = Y4mWriter(
                     output_path,

@@ -16,9 +16,10 @@ src/main.rs:432-521).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
-from typing import Iterable, Iterator, TypeVar
+from typing import Iterable, Iterator, TypeVar, Union
 
 T = TypeVar("T")
 
@@ -88,3 +89,37 @@ class PrefetchIterator(Iterator[T]):
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class _Passthrough(Iterator[T]):
+    """Same interface, no thread — the serial fallback."""
+
+    def __init__(self, src: Iterable[T]):
+        self._it = iter(src)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> T:
+        return next(self._it)
+
+    def close(self) -> None:
+        pass
+
+
+def maybe_prefetch(
+    src: Iterable[T], depth: int
+) -> Union["PrefetchIterator[T]", "_Passthrough[T]"]:
+    """Thread the iterator only when the host has cores to spare.
+
+    On a 2-core host the producer threads fight the decoder and the
+    device-transfer serialization for CPU: the threaded diff loop
+    measured 1.3-4.4 fps vs 6.1 fps serial (A/B'd on this machine).
+    With >= 4 cores the stages genuinely overlap and threading wins.
+    GRAV1_PREFETCH=1/0 forces either mode."""
+    env = os.environ.get("GRAV1_PREFETCH")
+    if env is not None:
+        use = env.strip().lower() not in ("0", "false", "no", "")
+    else:
+        use = (os.cpu_count() or 1) >= 4
+    return PrefetchIterator(src, depth) if use else _Passthrough(src)

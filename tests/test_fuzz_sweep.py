@@ -127,6 +127,12 @@ def gen_case(seed: int):
     w = int(rng.integers(18, 260))
     h = int(rng.integers(18, 200))
     opts = str(rng.choice(_OPT_POOL))
+    # libaom rejects tile splits the geometry cannot hold (64px-sb
+    # granularity per tile column/row)
+    if opts == "tiles=4x1" and w < 256:
+        opts = ""
+    if opts == "tiles=2x2" and (w < 128 or h < 128):
+        opts = ""
     still = rng.integers(0, 12) == 0 and not opts
     if still:
         opts = "still-picture=1"

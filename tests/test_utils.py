@@ -95,3 +95,47 @@ class TestTrace:
         r = BitReader(b"\xff")
         assert r.trace is None
         assert r.f(8, "named") == 255
+
+
+class TestPrefetch:
+    def test_order_and_completion(self):
+        from grav1synth_tpu.utils.prefetch import PrefetchIterator
+
+        out = list(PrefetchIterator(iter(range(1000)), depth=7))
+        assert out == list(range(1000))
+
+    def test_exception_propagates(self):
+        from grav1synth_tpu.utils.prefetch import PrefetchIterator
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = PrefetchIterator(gen(), depth=2)
+        assert next(it) == 1
+        import pytest
+
+        with pytest.raises(ValueError, match="boom"):
+            for _ in it:
+                pass
+
+    def test_close_unblocks_producer(self):
+        import itertools
+
+        from grav1synth_tpu.utils.prefetch import PrefetchIterator
+
+        it = PrefetchIterator(itertools.count(), depth=2)
+        assert next(it) == 0
+        it.close()  # must not hang on the infinite producer
+
+    def test_maybe_prefetch_env_override(self, monkeypatch):
+        from grav1synth_tpu.utils import prefetch
+
+        monkeypatch.setenv("GRAV1_PREFETCH", "0")
+        it = prefetch.maybe_prefetch(iter([1, 2]), depth=2)
+        assert isinstance(it, prefetch._Passthrough)
+        assert list(it) == [1, 2]
+        monkeypatch.setenv("GRAV1_PREFETCH", "1")
+        it = prefetch.maybe_prefetch(iter([3]), depth=2)
+        assert isinstance(it, prefetch.PrefetchIterator)
+        assert list(it) == [3]
