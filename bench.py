@@ -396,7 +396,69 @@ def measure_render_e2e():
             os.remove(out)
         rows[f"render_fps_{tag}"] = round(max(runs), 1)
         rows[f"render_fps_{tag}_sigma"] = round(float(np.std(runs)), 1)
+    rows.update(_render_stage_attribution(rows))
     return rows
+
+
+def _render_stage_attribution(rows):
+    """Per-frame stage costs for render @1080p8: decode (from the
+    decode-only row), device dispatch + host<->device transfers (the
+    flush path in isolation), and y4m mux (pure host write). On the
+    tunnel runtime the transfer leg dominates (~25 MB/s downloads);
+    on a directly-attached host it vanishes and render becomes
+    decode-bound — this row makes that attribution part of the
+    recorded benchmark rather than a claim."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from grav1synth_tpu.container.y4m import Y4mWriter
+    from grav1synth_tpu.ops import grain_jax
+
+    b, h, w = 16, 1080, 1920
+    params = _params(b)
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 255, (b, h, w)).astype(np.int16)
+    cb = rng.integers(0, 255, (b, h // 2, w // 2)).astype(np.int16)
+    cr = cb.copy()
+    pb = grain_jax.pack_params(params)
+
+    def flush(salt):
+        yo, cbo, cro = grain_jax.apply_grain(
+            y + np.int16(salt), cb, cr, pb, 8, 1, 1, False,
+            backend="pallas", host_params=params,
+        )
+        return (
+            np.asarray(yo.astype(jnp.uint8)),
+            np.asarray(cbo.astype(jnp.uint8)),
+            np.asarray(cro.astype(jnp.uint8)),
+        )
+
+    ys, cbs, crs = flush(0)
+    dev = 1e9
+    for i in range(1, 4):
+        t0 = _t.time()
+        flush(i)
+        dev = min(dev, (_t.time() - t0) / b)
+
+    out = os.path.join(CACHE, "mux_probe.y4m")
+    wr = Y4mWriter(out, w, h, (30, 1), 8, (1, 1))
+    t0 = _t.time()
+    for k in range(b):
+        wr.write_frame([ys[k], cbs[k], crs[k]])
+    wr.close()
+    mux = (_t.time() - t0) / b
+    os.remove(out)
+    decode_ms = (
+        1000.0 / rows["render_decode_only_fps_1080p8"]
+        if rows.get("render_decode_only_fps_1080p8")
+        else 0.0
+    )
+    return {
+        "render_stage_decode_ms_1080p8": round(decode_ms, 2),
+        "render_stage_device_transfer_ms_1080p8": round(dev * 1e3, 2),
+        "render_stage_mux_ms_1080p8": round(mux * 1e3, 2),
+    }
 
 
 def measure_diff_e2e():

@@ -135,3 +135,17 @@ def test_render_sharded_identical(tmp_path):
     pipelines.render(path, str(serial), batch=5, progress=False)
     pipelines.render(path, str(sharded), batch=5, progress=False, shards=8)
     assert serial.read_bytes() == sharded.read_bytes()
+
+
+def test_render_threaded_prefetch_identical(tmp_path, monkeypatch):
+    """GRAV1_PREFETCH=1 forces the threaded decode pipeline (on small
+    hosts maybe_prefetch would fall back to serial); output must stay
+    byte-identical to the serial loop — ordering is a single FIFO."""
+    path, _ = _grainy_ivf(tmp_path, 96, 66, 8, False, 7, "")
+    serial = str(tmp_path / "serial.y4m")
+    threaded = str(tmp_path / "threaded.y4m")
+    monkeypatch.setenv("GRAV1_PREFETCH", "0")
+    pipelines.render(path, serial, batch=3, progress=False)
+    monkeypatch.setenv("GRAV1_PREFETCH", "1")
+    pipelines.render(path, threaded, batch=3, progress=False)
+    assert open(serial, "rb").read() == open(threaded, "rb").read()
