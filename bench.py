@@ -57,6 +57,8 @@ def _setup_compile_cache() -> None:
 
 
 def measure_tpu_fps(params=None) -> float:
+    import jax
+
     _setup_compile_cache()
 
     import jax.numpy as jnp
@@ -375,7 +377,7 @@ def measure_render_e2e():
         "1080p8": _looped_ivf(_grainy_1080p_ivf(),
                               os.path.join(CACHE, "bench_1080p_grainy_x2.ivf"), 2),
         "4k10": _looped_ivf(_grainy_4k10_ivf(),
-                            os.path.join(CACHE, "bench_4k10_grainy_x8.ivf"), 8),
+                            os.path.join(CACHE, "bench_4k10_grainy_x4.ivf"), 4),
     }
     for tag, path in fixtures.items():
         # decode-only fps (threaded dav1d, grain off — the stage the
@@ -388,7 +390,7 @@ def measure_render_e2e():
         rows[f"render_decode_only_fps_{tag}"] = round(n_dec / (_t.time() - t0), 1)
         dec.close()
         runs = []
-        for _ in range(3):
+        for _ in range(2):
             out = os.path.join(CACHE, f"render_{tag}.y4m")
             t0 = _t.time()
             n = pipelines.render(path, out, batch=16, progress=False)
@@ -481,7 +483,7 @@ def measure_diff_e2e():
     den = _looped_ivf(clean, os.path.join(CACHE, "bench_1080p_clean_x2.ivf"), 2)
     n = len(read_ivf(src)[1])
     runs = []
-    for _ in range(3):
+    for _ in range(2):
         out = os.path.join(CACHE, "diff_e2e.tbl")
         t0 = _t.time()
         pipelines.diff(src, den, out, progress=False, batch=16)

@@ -394,21 +394,11 @@ def _group_weights(sub_x: int, sub_y: int):
     return lane, wx_old, wx_new, hmask, wy_old, wy_new
 
 
-def _group_noise(
-    offs_ref,
-    rolled_ref,  # position-specific pre-rolled copies (_preroll_perm)
-    gh_pad,  # rows per copy (pattern rows + 8 pad)
-    params_ref,
-    weights,  # _group_weights(sub_x, sub_y)
-    bi,
-    s,
-    g,
-    nb: int,
-    sub_x: int,
-    sub_y: int,
-    prow,
+def _merge_windows(
+    offs_ref, rolled_ref, gh_pad, lane, bi, s, g, nb, sub_x, sub_y
 ):
-    """One 128-lane group's (bh, 128) grain with overlap blending.
+    """k-way lane-masked merge of one 128-lane group's window slices:
+    returns (cur, left, top, tl) before overlap blending.
 
     Every window — each member block's own grain, its left neighbor's
     continuation columns, and the top stripe's continuation rows — is a
@@ -429,10 +419,6 @@ def _group_noise(
     bh = BLOCK >> sub_y
     k = 128 // bw
     ov_r = 2 >> sub_y
-    lane, wx_old, wx_new, hmask, wy_old, wy_new = weights
-    overlap = params_ref[prow, P_OVERLAP]
-    gmin = params_ref[prow, P_GMIN]
-    gmax = params_ref[prow, P_GMAX]
     s_top = jnp.maximum(s - 1, 0)
     nbp = (nb + 3) // 4
 
@@ -465,7 +451,20 @@ def _group_noise(
             top = jnp.where(m_r, top_j, top)
             tl = jnp.where(m_r, prev_top, tl)
         prev_cur, prev_top = cur_j, top_j
+    return cur, left, top, tl
 
+
+def _blend_noise(
+    cur, left, top, tl, weights, overlap, gmin, gmax, s, g,
+    sub_x: int, sub_y: int,
+):
+    """Overlap blending of merged windows -> the group's (bh, 128)
+    noise (spec 7.18.3 overlap rows/cols, clipped to the grain
+    range)."""
+    bw = BLOCK >> sub_x
+    k = 128 // bw
+    ov_r = 2 >> sub_y
+    lane, wx_old, wx_new, hmask, wy_old, wy_new = weights
     # horizontal blend: lanes < ov_c of each block that has a left
     # neighbor (every block except block 0 of group 0)
     hsel = (overlap > 0) & ((g * k + lane // bw) > 0) & hmask
@@ -481,6 +480,34 @@ def _group_noise(
     )
     head = jnp.where(vsel, vtop, cur_h[:ov_r])
     return jnp.concatenate([head, cur_h[ov_r:]], axis=0)
+
+
+def _group_noise(
+    offs_ref,
+    rolled_ref,  # position-specific pre-rolled copies (_preroll_perm)
+    gh_pad,  # rows per copy (pattern rows + 8 pad)
+    params_ref,
+    weights,  # _group_weights(sub_x, sub_y)
+    bi,
+    s,
+    g,
+    nb: int,
+    sub_x: int,
+    sub_y: int,
+    prow,
+):
+    """One 128-lane group's (bh, 128) grain with overlap blending
+    (_merge_windows + _blend_noise)."""
+    lane = weights[0]
+    cur, left, top, tl = _merge_windows(
+        offs_ref, rolled_ref, gh_pad, lane, bi, s, g, nb, sub_x, sub_y
+    )
+    overlap = params_ref[prow, P_OVERLAP]
+    gmin = params_ref[prow, P_GMIN]
+    gmax = params_ref[prow, P_GMAX]
+    return _blend_noise(
+        cur, left, top, tl, weights, overlap, gmin, gmax, s, g, sub_x, sub_y
+    )
 
 
 def _apply_groups(
@@ -652,6 +679,97 @@ def apply_plane_chroma(
 # what admits B >= 64 batches under the ~16 MB VMEM budget; both
 # launches sit in ONE jit, so the remote-dispatch round trip stays
 # single and only negligible on-device launch overhead is added.
+#
+# Cb and Cr share their per-block offset randoms (the spec derives one
+# (offx, offy) per 32-luma block for ALL planes), so their pre-rolled
+# pattern copies pack into ONE int32 buffer as biased 16-bit halves
+# and the k-way window merge — the chroma kernel's dominant cost per
+# the round-4 xprof/ablation attribution — runs once for both planes
+# (half the dynamic slices and lane-masked selects). The halves unpack
+# just before the per-plane overlap blends.
+
+_PACK_BIAS = 2048  # >= |grain| for every bit depth; keeps halves positive
+
+
+def _prerolled_pair(cb_pat, cr_pat, gh_pad: int, sub_x: int) -> jnp.ndarray:
+    cb = _prerolled(cb_pat, gh_pad, sub_x)
+    cr = _prerolled(cr_pat, gh_pad, sub_x)
+    return (cb + _PACK_BIAS) | ((cr + _PACK_BIAS) << 16)
+
+
+def _unpack_pair(x):
+    # x >= 0 always (both halves biased positive), so >> is exact
+    return (x & 0xFFFF) - _PACK_BIAS, (x >> 16) - _PACK_BIAS
+
+
+def _apply_groups_pair(
+    offs_ref,
+    params2_ref,  # (2B, P_LEN): cb rows then cr rows
+    cb_ref,
+    cr_ref,
+    rolled_ref,  # packed cb|cr pre-rolled copies (_prerolled_pair)
+    outcb_ref,
+    outcr_ref,
+    avg_fn,
+    gh_pad: int,
+    bit_depth: int,
+    nb: int,
+    sub_x: int,
+    sub_y: int,
+    batch: int,
+    n_seg: int,
+):
+    """Chroma-pair body: merge windows ONCE on the packed buffer and
+    compute the averaged luma ONCE per group, then blend/scale/store
+    each plane from its own parameter row."""
+    bi = pl.program_id(0)
+    s = pl.program_id(1)
+    bw = BLOCK >> sub_x
+    n_groups = pl.cdiv(nb * bw, 128)
+    maxval = (1 << bit_depth) - 1
+    weights = _group_weights(sub_x, sub_y)
+    lane = weights[0]
+    planes = ((cb_ref, outcb_ref, bi), (cr_ref, outcr_ref, batch + bi))
+
+    def group(g, _):
+        base = pl.multiple_of(g * 128, 128)
+        merged = _merge_windows(
+            offs_ref, rolled_ref, gh_pad, lane, bi, s, g, nb, sub_x, sub_y
+        )
+        unpacked = [_unpack_pair(t) for t in merged]  # [(cb, cr) x 4]
+        avg = avg_fn(g, base)
+        for half, (src_ref_p, out_ref_p, prow) in enumerate(planes):
+            overlap = params2_ref[prow, P_OVERLAP]
+            gmin = params2_ref[prow, P_GMIN]
+            gmax = params2_ref[prow, P_GMAX]
+            noise = _blend_noise(
+                *(t[half] for t in unpacked), weights, overlap, gmin, gmax,
+                s, g, sub_x, sub_y,
+            )
+            src = src_ref_p[0, :, pl.ds(base, 128)].astype(jnp.int32)
+            mult = params2_ref[prow, P_MULT]
+            luma_mult = params2_ref[prow, P_LUMA_MULT]
+            offset = params2_ref[prow, P_OFFSET]
+            combined = avg * (luma_mult - 128) + src * (mult - 128)
+            val_mult = jnp.clip(
+                (combined >> 6) + ((offset - 256) << (bit_depth - 8)),
+                0, maxval,
+            )
+            val = jnp.where(params2_ref[prow, P_USE_MULT] > 0, val_mult, avg)
+            scale = _scaling(val, params2_ref, prow, bit_depth, n_seg)
+            ss = params2_ref[prow, P_SCALING_SHIFT]
+            lo = params2_ref[prow, P_CLIP_LO]
+            hi = params2_ref[prow, P_CLIP_HI]
+            active = params2_ref[prow, P_ACTIVE]
+            grained = jnp.clip(
+                src + ((scale * noise + (1 << (ss - 1))) >> ss), lo, hi
+            )
+            out_ref_p[0, :, pl.ds(base, 128)] = jnp.where(
+                active > 0, grained, src
+            ).astype(out_ref_p.dtype)
+        return _
+
+    jax.lax.fori_loop(0, n_groups, group, None)
 
 
 def _chroma_pair_kernel(
@@ -660,8 +778,7 @@ def _chroma_pair_kernel(
     y_ref,
     cb_ref,
     cr_ref,
-    cbrolled_ref,
-    crrolled_ref,
+    rolled_ref,  # packed cb|cr copies
     avg_r_ref,
     avg_p_ref,
     outcb_ref,
@@ -678,17 +795,13 @@ def _chroma_pair_kernel(
     w: int,
     n_seg: int,
 ):
-    bi = pl.program_id(0)
     avg_fn = _make_inkernel_avg(
         y_ref, avg_r_ref, avg_p_ref, sub_x, sub_y, wpad, wc, w
     )
-    _apply_groups(
-        offs_ref, params2_ref, cb_ref, cbrolled_ref, outcb_ref, avg_fn, gh_pad_c,
-        bit_depth, nb, sub_x, sub_y, prow=bi, n_seg=n_seg,
-    )
-    _apply_groups(
-        offs_ref, params2_ref, cr_ref, crrolled_ref, outcr_ref, avg_fn, gh_pad_c,
-        bit_depth, nb, sub_x, sub_y, prow=batch + bi, n_seg=n_seg,
+    _apply_groups_pair(
+        offs_ref, params2_ref, cb_ref, cr_ref, rolled_ref, outcb_ref,
+        outcr_ref, avg_fn, gh_pad_c, bit_depth, nb, sub_x, sub_y, batch,
+        n_seg,
     )
 
 
@@ -723,8 +836,7 @@ def apply_planes_split(
     y_out = apply_plane_luma(
         y, luma_pat, offsets, params3[:b], bit_depth, n_seg=n_seg
     )
-    cbrolled = _prerolled(cb_pat, gh_c + 8, sub_x)
-    crrolled = _prerolled(cr_pat, gh_c + 8, sub_x)
+    rolled_pair = _prerolled_pair(cb_pat, cr_pat, gh_c + 8, sub_x)
     avg_r, avg_p = _avg_mat_arrays(sub_x, sub_y, wpad, wc, w)
     k_c = 128 // (BLOCK >> sub_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -734,7 +846,6 @@ def apply_planes_split(
             pl.BlockSpec((1, BLOCK, wpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
-            pl.BlockSpec((1, 16 * k_c * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
             pl.BlockSpec((1, 16 * k_c * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
             pl.BlockSpec(avg_r.shape, lambda bi, s, *_: (0, 0)),
             pl.BlockSpec(avg_p.shape, lambda bi, s, *_: (0, 0, 0)),
@@ -758,7 +869,7 @@ def apply_planes_split(
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(
-        packed, params3[b:], y, cb, cr, cbrolled, crrolled,
+        packed, params3[b:], y, cb, cr, rolled_pair,
         jnp.asarray(avg_r), jnp.asarray(avg_p),
     )
     return y_out, cb_out, cr_out
