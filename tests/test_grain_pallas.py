@@ -134,3 +134,53 @@ def test_nseg_dense_curve():
     q.scaling_points_y = [(0, 30), (255, 60)]
     _check([p, q], bit_depth=10, host_patterns=True)
     _check([p, q], host_patterns=True)
+
+
+def test_split_kernel_matches_reference():
+    """The split luma + packed-pair chroma kernels (the B>=48 production
+    path; Cb|Cr pre-rolled copies packed into one int32 buffer, merged
+    once) must match grain_ref exactly — called directly since test
+    batches are below the SPLIT_BATCH dispatch threshold."""
+    import jax.numpy as jnp
+
+    from grav1synth_tpu.ops import grain_pallas as gp
+
+    params_list = [sample_grain_params(seed=777 + i * 10063) for i in range(3)]
+    params_list[1].overlap_flag = False
+    params_list[2].chroma_scaling_from_luma = True
+    params_list[2].scaling_points_cb = []
+    params_list[2].scaling_points_cr = []
+    bit_depth = 10
+    rng = np.random.default_rng(11)
+    maxv = (1 << bit_depth) - 1
+    b, h, w = len(params_list), 70, 100
+    y = rng.integers(0, maxv + 1, (b, h, w)).astype(np.int16)
+    cb = rng.integers(0, maxv + 1, (b, (h + 1) // 2, (w + 1) // 2)).astype(np.int16)
+    cr = rng.integers(0, maxv + 1, (b, (h + 1) // 2, (w + 1) // 2)).astype(np.int16)
+
+    p = grain_jax.pack_params(params_list)
+    pats = grain_jax.generate_patterns(p, bit_depth, 1, 1, False)
+    offs = grain_jax.block_offsets(
+        p.seed, (h + grain_jax.BLOCK - 1) // grain_jax.BLOCK,
+        (w + grain_jax.BLOCK - 1) // grain_jax.BLOCK,
+    )
+    params3 = jnp.concatenate(
+        [
+            gp.pack_plane_params(p, "y", bit_depth),
+            gp.pack_plane_params(p, "cb", bit_depth),
+            gp.pack_plane_params(p, "cr", bit_depth),
+        ]
+    )
+    out = gp.apply_planes_split(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+        pats[0], pats[1], pats[2], offs, params3, bit_depth, 1, 1,
+    )
+    out = [np.asarray(o) for o in out]
+    for i, prm in enumerate(params_list):
+        ref = grain_ref.apply_grain_frame(
+            [y[i].astype(np.int32), cb[i].astype(np.int32), cr[i].astype(np.int32)],
+            prm, bit_depth, 1, 1,
+        )
+        for pi in range(3):
+            bad = int((out[pi][i].astype(np.int64) != ref[pi].astype(np.int64)).sum())
+            assert bad == 0, f"frame {i} plane {pi}: {bad} bad"
