@@ -716,7 +716,7 @@ def _apply_groups_pair(
     nb: int,
     sub_x: int,
     sub_y: int,
-    batch: int,
+    rows,  # (cb_param_row, cr_param_row) into params2_ref
     n_seg: int,
 ):
     """Chroma-pair body: merge windows ONCE on the packed buffer and
@@ -729,7 +729,7 @@ def _apply_groups_pair(
     maxval = (1 << bit_depth) - 1
     weights = _group_weights(sub_x, sub_y)
     lane = weights[0]
-    planes = ((cb_ref, outcb_ref, bi), (cr_ref, outcr_ref, batch + bi))
+    planes = ((cb_ref, outcb_ref, rows[0]), (cr_ref, outcr_ref, rows[1]))
 
     def group(g, _):
         base = pl.multiple_of(g * 128, 128)
@@ -795,13 +795,14 @@ def _chroma_pair_kernel(
     w: int,
     n_seg: int,
 ):
+    bi = pl.program_id(0)
     avg_fn = _make_inkernel_avg(
         y_ref, avg_r_ref, avg_p_ref, sub_x, sub_y, wpad, wc, w
     )
     _apply_groups_pair(
         offs_ref, params2_ref, cb_ref, cr_ref, rolled_ref, outcb_ref,
-        outcr_ref, avg_fn, gh_pad_c, bit_depth, nb, sub_x, sub_y, batch,
-        n_seg,
+        outcr_ref, avg_fn, gh_pad_c, bit_depth, nb, sub_x, sub_y,
+        (bi, batch + bi), n_seg,
     )
 
 
@@ -888,8 +889,7 @@ def _fused_kernel(
     cb_ref,
     cr_ref,
     lrolled_ref,
-    cbrolled_ref,
-    crrolled_ref,
+    crolled_ref,  # packed cb|cr copies (_prerolled_pair)
     avg_r_ref,  # (16, 32) f32 even-row extractor
     avg_p_ref,  # (n_p, ywin_w, 128) f32 pair-sum matrices
     outy_ref,
@@ -913,17 +913,15 @@ def _fused_kernel(
         bit_depth, nb, 0, 0, prow=bi, n_seg=n_seg,
     )
     # chroma scaling input: averaged luma computed in-kernel from the
-    # luma stripe of this same grid step (already VMEM-resident)
+    # luma stripe of this same grid step (already VMEM-resident);
+    # cb/cr merge once from the packed pair buffer
     avg_fn = _make_inkernel_avg(
         y_ref, avg_r_ref, avg_p_ref, sub_x, sub_y, wpad, wc, w
     )
-    _apply_groups(
-        offs_ref, params3_ref, cb_ref, cbrolled_ref, outcb_ref, avg_fn, gh_pad_c,
-        bit_depth, nb, sub_x, sub_y, prow=batch + bi, n_seg=n_seg,
-    )
-    _apply_groups(
-        offs_ref, params3_ref, cr_ref, crrolled_ref, outcr_ref, avg_fn, gh_pad_c,
-        bit_depth, nb, sub_x, sub_y, prow=2 * batch + bi, n_seg=n_seg,
+    _apply_groups_pair(
+        offs_ref, params3_ref, cb_ref, cr_ref, crolled_ref, outcb_ref,
+        outcr_ref, avg_fn, gh_pad_c, bit_depth, nb, sub_x, sub_y,
+        (batch + bi, 2 * batch + bi), n_seg,
     )
 
 
@@ -953,8 +951,7 @@ def apply_planes_fused(
     wcpad = ((wc + 127) // 128) * 128
     gh_c = cb_pat.shape[1]
     lrolled = _prerolled(luma_pat, 73 + 8, 0)
-    cbrolled = _prerolled(cb_pat, gh_c + 8, sub_x)
-    crrolled = _prerolled(cr_pat, gh_c + 8, sub_x)
+    crolled = _prerolled_pair(cb_pat, cr_pat, gh_c + 8, sub_x)
     avg_r, avg_p = _avg_mat_arrays(sub_x, sub_y, wpad, wc, w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -964,7 +961,6 @@ def apply_planes_fused(
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, bh_c, wcpad), lambda bi, s, *_: (bi, s, 0)),
             pl.BlockSpec((1, 64 * (73 + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
-            pl.BlockSpec((1, 16 * (128 // (BLOCK >> sub_x)) * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
             pl.BlockSpec((1, 16 * (128 // (BLOCK >> sub_x)) * (gh_c + 8), 128), lambda bi, s, *_: (bi, 0, 0)),
             pl.BlockSpec(avg_r.shape, lambda bi, s, *_: (0, 0)),
             pl.BlockSpec(avg_p.shape, lambda bi, s, *_: (0, 0, 0)),
@@ -990,6 +986,6 @@ def apply_planes_fused(
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(
-        pack_offsets(offsets), params3, y, cb, cr, lrolled, cbrolled, crrolled,
+        pack_offsets(offsets), params3, y, cb, cr, lrolled, crolled,
         jnp.asarray(avg_r), jnp.asarray(avg_p),
     )
