@@ -45,6 +45,11 @@ _OPT_POOL = [
     "usage=good:cpu-used=6:lag-in-frames=8:auto-alt-ref=1",
     "tune=psnr:aom-params=enable-intrabc=1",
     "usage=good:cpu-used=8:crf=50",
+    # (superres is not exposed by this libaom build's aom-params;
+    # synthetic superres streams cover that header path in
+    # test_obu_branches)
+    "aom-params=enable-cdef=0:enable-restoration=1",
+    "usage=realtime:cpu-used=8",
 ]
 
 
