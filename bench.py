@@ -66,10 +66,22 @@ def measure_tpu_fps(params=None) -> float:
 
     backend = os.environ.get("GRAV1_BENCH_BACKEND", "pallas")
     patterns = os.environ.get("GRAV1_BENCH_PATTERNS", "host")
+    # distinct params per iteration: the remote runtime serves repeated
+    # identical uploads from a cache (ROADMAP measurement lessons), so
+    # re-uploading one pattern batch every iteration would overstate
+    # the pattern stage's true cost. Param packing (tiny arrays) is
+    # done up front; pattern generation + upload stay in the timed loop.
     if params is None:
         params = _params(B)
-    pb = grain_jax.pack_params(params)
-    host_params = params if patterns == "host" else None
+    import copy
+
+    iter_params = []
+    for k in range(N_ITERS):
+        pl = [copy.deepcopy(p) for p in params]
+        for i, p in enumerate(pl):
+            p.grain_seed = (p.grain_seed + k * 7919) & 0xFFFF
+        iter_params.append(pl)
+    iter_pb = [grain_jax.pack_params(pl) for pl in iter_params]
     rng = np.random.default_rng(0)
     maxv = (1 << BIT_DEPTH) - 1
     # int16 planes: the production wire format (decoder emits 16-bit
@@ -78,15 +90,47 @@ def measure_tpu_fps(params=None) -> float:
     cb = jnp.asarray(rng.integers(0, maxv, (B, H // 2, W // 2), dtype=np.int16))
     cr = jnp.asarray(rng.integers(0, maxv, (B, H // 2, W // 2), dtype=np.int16))
 
-    def apply(y_in):
-        out = grain_jax.apply_grain(
-            y_in, cb, cr, pb, BIT_DEPTH, 1, 1, False,
-            backend=backend, host_params=host_params,
-        )
-        return out[0]
+    if patterns == "device":
+        # fully on-device pattern path (no host gen, no upload)
+        def apply(y_in, k):
+            hp = iter_params[k]
+            n_seg = grain_jax._max_segments(hp, False)
+            out = grain_jax.apply_grain_device_patterns(
+                y_in, cb, cr, iter_pb[k], BIT_DEPTH, 1, 1, False,
+                n_seg=n_seg, chroma_static=True,
+            )
+            return out[0]
+
+        def run_iters():
+            cur = y
+            for k in range(N_ITERS):
+                cur = apply(cur, k)
+            return cur
+
+    else:
+        # host-pattern path, double-buffered: batch k+1's pattern
+        # generation + upload run while batch k's kernels execute
+        def prepare(k):
+            return grain_jax.prepare_patterns(iter_params[k], BIT_DEPTH, 1, 1, False)
+
+        def apply(y_in, k, prep):
+            out = grain_jax.apply_grain(
+                y_in, cb, cr, iter_pb[k], BIT_DEPTH, 1, 1, False,
+                backend=backend, prepared=prep,
+            )
+            return out[0]
+
+        def run_iters():
+            cur = y
+            prep = prepare(0)  # pipeline fill (serial, counted)
+            for k in range(N_ITERS):
+                cur = apply(cur, k, prep)  # async dispatch
+                if k + 1 < N_ITERS:
+                    prep = prepare(k + 1)  # overlaps batch k's kernels
+            return cur
 
     # warm-up / compile
-    cur = apply(y)
+    cur = run_iters()
     _ = np.asarray(cur[0, :1, :8])
 
     # dependency-chained timing: iteration k consumes iteration k-1's
@@ -107,9 +151,7 @@ def measure_tpu_fps(params=None) -> float:
     with prof:
         for _ in range(3):
             t0 = time.time()
-            cur = y
-            for _ in range(N_ITERS):
-                cur = apply(cur)
+            cur = run_iters()
             _ = np.asarray(cur[0, :1, :8])  # sync
             elapsed = time.time() - t0
             runs.append(B * N_ITERS / elapsed)

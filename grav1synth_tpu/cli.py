@@ -69,7 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--resume",
         action="store_true",
-        help="continue an interrupted IVF rewrite from its last complete packet",
+        help="continue an interrupted IVF rewrite: with --shards, from "
+        "the per-GOP work manifest (O(remaining) restart); single-"
+        "process, from the last complete output packet (headers of "
+        "completed packets are re-parsed to rebuild rewriter state)",
     )
     p.add_argument(
         "--shards",
@@ -209,7 +212,8 @@ def main(argv=None) -> int:
             from .tables import load_table
 
             n = sharded_rewrite_ivf(
-                args.input, args.output, load_table(args.grain), args.shards
+                args.input, args.output, load_table(args.grain), args.shards,
+                resume=args.resume,
             )
         else:
             n = pipelines.apply_table(
@@ -225,7 +229,9 @@ def main(argv=None) -> int:
         if args.shards > 1:
             from .parallel.host_shard import sharded_rewrite_ivf
 
-            n = sharded_rewrite_ivf(args.input, args.output, None, args.shards)
+            n = sharded_rewrite_ivf(
+                args.input, args.output, None, args.shards, resume=args.resume
+            )
         else:
             n = pipelines.remove(args.input, args.output, resume=args.resume)
         print(f"Done, rewrote {n} video packets")

@@ -649,6 +649,68 @@ def _max_segments(params_list, monochrome: bool) -> int:
     return max(1, min(n, 13))
 
 
+@dataclass
+class PreparedPatterns:
+    """Host-generated grain patterns already resident on device, plus
+    the static metadata the kernels specialize on. Produced by
+    prepare_patterns(); consumed by apply_grain(prepared=...). Exists
+    so callers can overlap batch N+1's pattern generation + upload with
+    batch N's device kernels (double-buffering) — the two stages are
+    otherwise serialized inside apply_grain."""
+
+    luma: jnp.ndarray  # (B, 73, 82) int16 on device
+    cb: Optional[jnp.ndarray]
+    cr: Optional[jnp.ndarray]
+    n_seg: int
+    chroma_static: bool
+
+
+def _host_metadata(host_params, monochrome: bool) -> Tuple[int, bool]:
+    """Static kernel-specialization facts derivable from host params:
+    the scaling-curve segment bound and whether any frame in the batch
+    touches chroma (photon-noise tables without --chroma and many film
+    tables are luma-only; skipping the chroma kernels entirely more
+    than doubles throughput)."""
+    n_seg = _max_segments(host_params, monochrome)
+    chroma_static = any(
+        hp.chroma_scaling_from_luma
+        or len(hp.scaling_points_cb) > 0
+        or len(hp.scaling_points_cr) > 0
+        for hp in host_params
+    )
+    return n_seg, chroma_static
+
+
+def prepare_patterns(
+    host_params,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+) -> PreparedPatterns:
+    """Generate grain patterns natively on host and start their upload.
+
+    The upload (jnp.asarray) is asynchronous — the returned arrays are
+    futures whose transfer proceeds in the background — so calling this
+    for batch N+1 right after dispatching batch N hides the whole
+    pattern stage behind the running kernels."""
+    from ..container.ffshim import generate_patterns_native
+
+    n_seg, chroma_static = _host_metadata(host_params, monochrome)
+    with jax.profiler.TraceAnnotation("grain/pattern_gen_native"):
+        lp, cbp, crp = generate_patterns_native(
+            host_params, bit_depth, sub_x, sub_y, monochrome
+        )
+    # grain values fit int16 (|g| < 2^11 at 12-bit): halves the
+    # host->device pattern upload, which is a measurable share of
+    # batch time on remote-attached runtimes
+    with jax.profiler.TraceAnnotation("grain/pattern_upload"):
+        lp = jnp.asarray(lp.astype(np.int16))
+        cbp = None if cbp is None else jnp.asarray(cbp.astype(np.int16))
+        crp = None if crp is None else jnp.asarray(crp.astype(np.int16))
+    return PreparedPatterns(lp, cbp, crp, n_seg, chroma_static)
+
+
 def apply_grain(
     y,
     cb,
@@ -660,6 +722,7 @@ def apply_grain(
     monochrome: bool = False,
     backend: str = "pallas",
     host_params=None,
+    prepared: Optional[PreparedPatterns] = None,
 ):
     """Apply film grain to a batch of frames.
 
@@ -674,57 +737,83 @@ def apply_grain(
     work stays on device, the scalar recurrence runs native. Knowing
     the params on host also lets the kernel's scaling-curve segment
     loop specialize to the batch's actual point counts (most film
-    tables have 2-8 points, far below the syntax maximum of 14)."""
-    n_seg = 13
-    chroma_static = None
-    if host_params is not None:
-        from ..container.ffshim import generate_patterns_native
+    tables have 2-8 points, far below the syntax maximum of 14).
 
-        n_seg = _max_segments(host_params, monochrome)
-        # knowing the params on host also tells us statically whether
-        # any frame touches chroma: photon-noise tables without
-        # --chroma (and many film tables) are luma-only, and skipping
-        # the chroma kernels entirely more than doubles throughput
-        chroma_static = any(
-            hp.chroma_scaling_from_luma
-            or len(hp.scaling_points_cb) > 0
-            or len(hp.scaling_points_cr) > 0
-            for hp in host_params
-        )
-        with jax.profiler.TraceAnnotation("grain/pattern_gen_native"):
-            lp, cbp, crp = generate_patterns_native(
-                host_params, bit_depth, sub_x, sub_y, monochrome
-            )
-        # grain values fit int16 (|g| < 2^11 at 12-bit): halves the
-        # host->device pattern upload, which is a measurable share of
-        # batch time on remote-attached runtimes
-        with jax.profiler.TraceAnnotation("grain/pattern_upload"):
-            lp = jnp.asarray(lp.astype(np.int16))
-            cbp = None if cbp is None else jnp.asarray(cbp.astype(np.int16))
-            crp = None if crp is None else jnp.asarray(crp.astype(np.int16))
-        pats = (lp, cbp, crp)
-    else:
-        pats = None
+    ``prepared``: a PreparedPatterns from prepare_patterns() — lets the
+    caller overlap the next batch's pattern generation + upload with
+    this batch's kernels (see pipelines render/bench double-buffering).
+    When given, host_params is not consulted for patterns."""
+    if prepared is None and host_params is not None:
+        prepared = prepare_patterns(host_params, bit_depth, sub_x, sub_y, monochrome)
     with jax.profiler.TraceAnnotation("grain/apply_dispatch"):
         if backend == "pallas":
-            if pats is None:
+            if prepared is None:
                 return apply_grain_batch_pallas(
                     y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
                 )
-            if chroma_static is False and not monochrome:
-                y_out = _apply_pallas_luma_only(y, pats[0], p, bit_depth, n_seg)
+            if not prepared.chroma_static and not monochrome:
+                y_out = _apply_pallas_luma_only(
+                    y, prepared.luma, p, bit_depth, prepared.n_seg
+                )
                 return y_out, cb, cr
             return _apply_pallas_with_patterns(
-                y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome,
-                n_seg=n_seg,
+                y, cb, cr, prepared.luma, prepared.cb, prepared.cr,
+                p, bit_depth, sub_x, sub_y, monochrome,
+                n_seg=prepared.n_seg,
             )
-        if pats is None:
+        if prepared is None:
             return apply_grain_batch(
                 y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
             )
         return _apply_xla_with_patterns(
-            y, cb, cr, *pats, p, bit_depth, sub_x, sub_y, monochrome
+            y, cb, cr, prepared.luma, prepared.cb, prepared.cr,
+            p, bit_depth, sub_x, sub_y, monochrome
         )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bit_depth", "sub_x", "sub_y", "monochrome", "n_seg", "chroma_static"
+    ),
+)
+def apply_grain_device_patterns(
+    y,
+    cb,
+    cr,
+    p: GrainParamsBatch,
+    bit_depth: int,
+    sub_x: int = 1,
+    sub_y: int = 1,
+    monochrome: bool = False,
+    n_seg: int = 13,
+    chroma_static: bool = True,
+):
+    """Fully on-device production candidate: patterns from the GF(2)
+    LFSR matrix powers + wavefront-AR scan (generate_patterns) feed the
+    same Pallas kernels inside ONE jit — no host pattern generation and
+    no pattern upload at all. Host params contribute only the static
+    specialization facts (n_seg, chroma_static), exactly as the
+    host-pattern path. A/B'd against the host-pattern path on chip
+    (bench.py GRAV1_BENCH_PATTERNS=device)."""
+    luma_pat, cb_pat, cr_pat = generate_patterns(
+        p, bit_depth, sub_x, sub_y, monochrome
+    )
+    if not chroma_static and not monochrome:
+        from . import grain_pallas as gp
+
+        y16 = y.astype(jnp.int16)
+        b, h, w = y16.shape
+        offs = block_offsets(p.seed, (h + BLOCK - 1) // BLOCK, (w + BLOCK - 1) // BLOCK)
+        y_out = gp.apply_plane_luma(
+            y16, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth),
+            bit_depth, n_seg=n_seg,
+        )
+        return y_out, cb, cr
+    return _apply_pallas_with_patterns(
+        y, cb, cr, luma_pat, cb_pat, cr_pat,
+        p, bit_depth, sub_x, sub_y, monochrome, n_seg=n_seg,
+    )
 
 
 @functools.partial(

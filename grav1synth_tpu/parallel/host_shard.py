@@ -19,8 +19,11 @@ probe of each packet's first frame header.
 
 from __future__ import annotations
 
+import json
 import logging
 import multiprocessing as mp
+import os
+import pickle
 from typing import List, Optional, Sequence, Tuple
 
 log = logging.getLogger("grav1synth")
@@ -213,59 +216,211 @@ def _rewrite_shard(args):
     return out, rw.seed_match_counts()
 
 
+# ---------------------------------------------------------------------------
+# Per-GOP work manifest (SURVEY §5 checkpoint/resume: "per-GOP work
+# manifest + restart" is the TPU-native equivalent of the reference's
+# single-process stop/rerun). The rewrite is split into keyframe-
+# aligned work units finer than the worker count; each completed unit
+# persists its packet bytes + seed-counter delta before the next is
+# scheduled, so a killed job restarts at O(remaining units), not O(N).
+
+
+def _manifest_path(out_path: str) -> str:
+    return out_path + ".manifest.json"
+
+
+def _parts_dir(out_path: str) -> str:
+    return out_path + ".parts"
+
+
+def _input_fingerprint(path: str) -> dict:
+    import hashlib
+
+    st = os.stat(path)
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 16)
+    return {"size": st.st_size, "sha1_head": hashlib.sha1(head).hexdigest()}
+
+
+def _segments_digest(segments) -> str:
+    import hashlib
+
+    if segments is None:
+        return "remove"
+    blob = repr(
+        [(s.start_time, s.end_time, s.params) for s in segments]
+    ).encode()
+    return hashlib.sha1(blob).hexdigest()
+
+
+def _save_manifest(out_path: str, man: dict) -> None:
+    """Atomic write: crash mid-save leaves the previous manifest."""
+    mp_ = _manifest_path(out_path)
+    tmp = mp_ + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, mp_)
+
+
+def _save_part(out_path: str, idx: int, packets_bytes: List[bytes]) -> None:
+    os.makedirs(_parts_dir(out_path), exist_ok=True)
+    part = os.path.join(_parts_dir(out_path), f"{idx}.part")
+    tmp = part + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump(packets_bytes, fh)
+    os.replace(tmp, part)
+
+
+def _load_part(out_path: str, idx: int) -> List[bytes]:
+    with open(os.path.join(_parts_dir(out_path), f"{idx}.part"), "rb") as fh:
+        return pickle.load(fh)
+
+
+def _cleanup_manifest(out_path: str) -> None:
+    import shutil
+
+    for p in (_manifest_path(out_path),):
+        if os.path.exists(p):
+            os.remove(p)
+    shutil.rmtree(_parts_dir(out_path), ignore_errors=True)
+
+
 def sharded_rewrite_ivf(
     path: str,
     out_path: str,
     segments: Optional[List[GrainTableSegment]],
     n_shards: int = 4,
+    resume: bool = False,
 ) -> int:
     """Parallel apply/remove over an IVF file, byte-identical to the
     single-pass pipeline for any shard count.
 
     The per-frame seed decorrelation counts segment matches in frame
     order, so shard i must start from the counts accumulated by shards
-    < i. Phase 1 runs every shard with zero counts (correct for shard
-    0, and it yields each shard's count DELTAS, which are
-    init-independent); shards whose prefix sum is nonzero re-run with
+    < i. Phase 1 runs every unit with zero counts (correct for unit 0,
+    and it yields each unit's count DELTAS, which are
+    init-independent); units whose prefix sum is nonzero re-run with
     the proper initial counts. Removal (segments=None) has no counters
-    and finishes in one phase."""
+    and finishes in one phase.
+
+    Fault tolerance: work is planned as keyframe-aligned units (~4 per
+    worker); each finished unit's bytes + counter delta persist to
+    ``out.parts/`` + ``out.manifest.json`` the moment it completes.
+    ``resume=True`` skips persisted units whose recorded initial counts
+    still match, re-running only the remainder — restart cost is
+    O(remaining units). A manifest whose input fingerprint, segment
+    digest, or unit plan disagrees is discarded with a warning. The
+    manifest and parts are deleted after the final IVF is written.
+    GRAV1_SHARD_FAIL_AFTER=<k> (test hook) aborts the job after k units
+    have persisted, simulating a mid-job kill."""
     header, packets = ivf.read_ivf(path)
     flags = keyframe_flags(packets)
-    shards = plan_shards(flags, n_shards)
+    # units finer than the worker count bound restart loss to ~1/4 of
+    # one worker's span while keeping per-unit parser-priming cheap
+    units = plan_shards(flags, max(n_shards, 1) * 4)
+    n_units = len(units)
 
-    jobs = [(path, s, e, segments, None) for s, e in shards]
-    if len(jobs) == 1:
-        results = [_rewrite_shard(jobs[0])]
+    fp = _input_fingerprint(path)
+    digest = _segments_digest(segments)
+    n_seg = len(segments) if segments else 0
+
+    man = None
+    if resume and os.path.exists(_manifest_path(out_path)):
+        try:
+            with open(_manifest_path(out_path)) as fh:
+                man = json.load(fh)
+        except Exception:
+            man = None
+        if man is not None and (
+            man.get("input") != fp
+            or man.get("segments_digest") != digest
+            or man.get("units") != [list(u) for u in units]
+        ):
+            log.warning(
+                "resume manifest does not match this job "
+                "(input, grain table, or unit plan changed); restarting"
+            )
+            man = None
+    if man is None:
+        _cleanup_manifest(out_path)
+        man = {
+            "input": fp,
+            "segments_digest": digest,
+            "units": [list(u) for u in units],
+            # per unit: None (not done) or {"init": [...], "delta": [...]}
+            "done": [None] * n_units,
+        }
+        _save_manifest(out_path, man)
     else:
-        with mp.get_context("spawn").Pool(len(jobs)) as pool:
-            results = pool.map(_rewrite_shard, jobs)
+        n_done = sum(1 for d in man["done"] if d is not None)
+        log.info(
+            "resuming sharded rewrite: %d/%d units already complete",
+            n_done, n_units,
+        )
 
-    outs = [r[0] for r in results]
+    fail_after = int(os.environ.get("GRAV1_SHARD_FAIL_AFTER", "0") or 0)
+    completed_this_run = 0
+
+    def run_units(jobs_by_idx: dict) -> None:
+        """Run units, persisting each the moment it completes — a kill
+        at any point loses at most the in-flight units."""
+        nonlocal completed_this_run
+
+        def persist(idx, result):
+            nonlocal completed_this_run
+            out, counts = result
+            init = jobs_by_idx[idx][4] or [0] * n_seg
+            _save_part(out_path, idx, out)
+            man["done"][idx] = {
+                "init": list(init),
+                "delta": [c - i for c, i in zip(counts, init)]
+                if n_seg
+                else [],
+            }
+            _save_manifest(out_path, man)
+            completed_this_run += 1
+            if fail_after and completed_this_run >= fail_after:
+                raise RuntimeError(
+                    f"GRAV1_SHARD_FAIL_AFTER={fail_after}: simulated kill"
+                )
+
+        items = sorted(jobs_by_idx.items())
+        if len(items) == 1:
+            persist(items[0][0], _rewrite_shard(items[0][1]))
+            return
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(min(n_shards, len(items))) as pool:
+            for (idx, _), res in zip(
+                items, pool.imap(_rewrite_shard, [j for _, j in items])
+            ):
+                persist(idx, res)
+
+    # phase 1: delta pass for units with no persisted result
+    pending = {
+        i: (path, units[i][0], units[i][1], segments, None)
+        for i in range(n_units)
+        if man["done"][i] is None
+    }
+    if pending:
+        run_units(pending)
+
+    # phase 2: units whose recorded init counts disagree with the
+    # cross-unit prefix sum re-run with the proper counts (deltas are
+    # init-independent, so persisted deltas stay valid)
     if segments:
-        n_seg = len(segments)
         prefix = [0] * n_seg
-        redo = []
-        prefixes = {}
-        for i, (_, delta) in enumerate(results):
-            if i > 0 and any(prefix):
-                prefixes[i] = list(prefix)
-                redo.append(i)
-            prefix = [a + b for a, b in zip(prefix, delta)]
+        redo = {}
+        for i in range(n_units):
+            rec = man["done"][i]
+            if rec["init"] != prefix:
+                redo[i] = (path, units[i][0], units[i][1], segments, list(prefix))
+            prefix = [a + b for a, b in zip(prefix, rec["delta"])]
         if redo:
-            jobs2 = [
-                (path, shards[i][0], shards[i][1], segments, prefixes[i])
-                for i in redo
-            ]
-            if len(jobs2) == 1:
-                fixed = [_rewrite_shard(jobs2[0])]
-            else:
-                with mp.get_context("spawn").Pool(len(jobs2)) as pool:
-                    fixed = pool.map(_rewrite_shard, jobs2)
-            for i, r in zip(redo, fixed):
-                outs[i] = r[0]
+            run_units(redo)
 
-    flat = [d for shard_out in outs for d in shard_out]
+    flat = [d for i in range(n_units) for d in _load_part(out_path, i)]
     ivf.write_ivf(
         out_path, header, [ivf.IvfPacket(p.pts, d) for p, d in zip(packets, flat)]
     )
+    _cleanup_manifest(out_path)
     return len(flat)

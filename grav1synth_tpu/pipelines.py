@@ -306,10 +306,17 @@ def _rewrite(
             if resume and os.path.exists(output_path):
                 # restart after the last complete output packet; replay
                 # the already-done inputs through the parser/rewriter to
-                # rebuild state (seed counters, sequence header, refs)
+                # rebuild state (seed counters, sequence header, refs).
+                # NOTE: the replay makes single-process restart cost
+                # O(total parsed) — only output WRITES are skipped; for
+                # O(remaining) restart use --shards (per-GOP manifest,
+                # parallel.host_shard.sharded_rewrite_ivf)
                 _, skip, offset = ivf.scan_complete_packets(output_path)
                 writer = ivf.IvfAppender(output_path, offset, skip)
-                log.info("resuming after %d completed packets", skip)
+                log.info(
+                    "resuming after %d completed packets (replaying "
+                    "their headers to rebuild rewriter state)", skip,
+                )
             else:
                 writer = ivf.IvfWriter.create(output_path, vf._header)
             for i, pkt in enumerate(vf.packets()):

@@ -174,6 +174,104 @@ class TestHostShard:
         assert n == 24
         assert shard_out.read_bytes() == serial.read_bytes()
 
+    def test_kill_and_resume_byte_identical(self, tmp_path, monkeypatch):
+        """SURVEY §5 checkpoint row: a sharded rewrite killed mid-job
+        restarts from its per-GOP manifest, skips the persisted units,
+        and still produces the exact single-pass bytes."""
+        import json
+        import os
+
+        from grav1synth_tpu import pipelines
+        from grav1synth_tpu.obu import GrainTableSegment
+        from grav1synth_tpu.parallel import host_shard
+        from grav1synth_tpu.tables import dump_table, load_table
+
+        path = self._multi_gop_ivf(tmp_path, name="k.ivf")
+        mid = -(-12 * 10_000_000 // 24)
+        segs = [
+            GrainTableSegment(0, mid, sample_grain_params(seed=5)),
+            GrainTableSegment(mid, 10**14, sample_grain_params(seed=901)),
+        ]
+        tbl = tmp_path / "k.tbl"
+        dump_table(segs, str(tbl))
+        serial = tmp_path / "serial.ivf"
+        pipelines.apply_table(path, str(serial), str(tbl), progress=False)
+
+        out = tmp_path / "sharded.ivf"
+        monkeypatch.setenv("GRAV1_SHARD_FAIL_AFTER", "1")
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            host_shard.sharded_rewrite_ivf(
+                path, str(out), load_table(str(tbl)), 3, resume=False
+            )
+        # the kill left a manifest with >= 1 persisted unit and parts
+        man_path = host_shard._manifest_path(str(out))
+        assert os.path.exists(man_path)
+        with open(man_path) as fh:
+            man = json.load(fh)
+        done_idx = [i for i, d in enumerate(man["done"]) if d is not None]
+        assert done_idx, "no unit persisted before the simulated kill"
+        # pool.imap preserves order, so the persisted unit is unit 0 —
+        # whose phase-2 init is always the zero vector, i.e. it is final
+        assert done_idx == [0]
+
+        # restart: completed units must be skipped — record every part
+        # written during resume (persist always runs in the parent) and
+        # assert unit 0 is not among them; output must equal the
+        # single-pass bytes; manifest cleaned up on success
+        monkeypatch.delenv("GRAV1_SHARD_FAIL_AFTER")
+        saved = []
+        real_save = host_shard._save_part
+        monkeypatch.setattr(
+            host_shard, "_save_part",
+            lambda op, idx, data: (saved.append(idx), real_save(op, idx, data)),
+        )
+        n = host_shard.sharded_rewrite_ivf(
+            path, str(out), load_table(str(tbl)), 3, resume=True
+        )
+        assert n == 24
+        assert 0 not in saved and saved, f"resume re-ran units {saved}"
+        assert out.read_bytes() == serial.read_bytes()
+        assert not os.path.exists(man_path)
+        assert not os.path.exists(host_shard._parts_dir(str(out)))
+
+    def test_stale_manifest_discarded(self, tmp_path, caplog):
+        """A manifest from a different grain table must be discarded,
+        and the job must restart cleanly."""
+        import logging
+
+        from grav1synth_tpu import pipelines
+        from grav1synth_tpu.obu import GrainTableSegment
+        from grav1synth_tpu.parallel import host_shard
+        from grav1synth_tpu.tables import dump_table, load_table
+
+        path = self._multi_gop_ivf(tmp_path, name="s.ivf")
+        segs_a = [GrainTableSegment(0, 10**14, sample_grain_params(seed=5))]
+        segs_b = [GrainTableSegment(0, 10**14, sample_grain_params(seed=901))]
+        tbl_a, tbl_b = tmp_path / "a.tbl", tmp_path / "b.tbl"
+        dump_table(segs_a, str(tbl_a))
+        dump_table(segs_b, str(tbl_b))
+        out = tmp_path / "out.ivf"
+        # leave a half-finished manifest for table A
+        import os
+
+        os.environ["GRAV1_SHARD_FAIL_AFTER"] = "1"
+        try:
+            with pytest.raises(RuntimeError):
+                host_shard.sharded_rewrite_ivf(
+                    path, str(out), load_table(str(tbl_a)), 3
+                )
+        finally:
+            del os.environ["GRAV1_SHARD_FAIL_AFTER"]
+        # resume with table B: manifest must be rejected, result correct
+        serial = tmp_path / "serial_b.ivf"
+        pipelines.apply_table(path, str(serial), str(tbl_b), progress=False)
+        with caplog.at_level(logging.WARNING, logger="grav1synth"):
+            host_shard.sharded_rewrite_ivf(
+                path, str(out), load_table(str(tbl_b)), 3, resume=True
+            )
+        assert any("does not match" in r.message for r in caplog.records)
+        assert out.read_bytes() == serial.read_bytes()
+
     def test_sharded_remove_byte_identical(self, tmp_path):
         from grav1synth_tpu import pipelines
         from grav1synth_tpu.obu import GrainTableSegment
