@@ -28,7 +28,10 @@ import numpy as np
 # the largest batch whose flat-packed offsets fit the 1 MB SMEM budget
 # at 4K (B=128 exceeds it)
 B = int(os.environ.get("GRAV1_BENCH_BATCH", "112"))
-N_ITERS = int(os.environ.get("GRAV1_BENCH_ITERS", "6"))
+# 32 batches ≈ 2.5 s of device work per rep: long enough that the
+# one-time pipeline fill/drain (~80 ms on the tunnel runtime) stops
+# dominating the wall-clock rate the way it did at the old N=6
+N_ITERS = int(os.environ.get("GRAV1_BENCH_ITERS", "32"))
 H, W, BIT_DEPTH = 2160, 3840, 10
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
@@ -101,15 +104,18 @@ def measure_tpu_fps(params=None) -> float:
             )
             return out[0]
 
-        def run_iters():
+        def run_iters(n):
             cur = y
-            for k in range(N_ITERS):
+            for k in range(n):
                 cur = apply(cur, k)
             return cur
 
     else:
         # host-pattern path, double-buffered: batch k+1's pattern
-        # generation + upload run while batch k's kernels execute
+        # generation + upload run while batch k's kernels execute.
+        # Verified by xprof device timeline: the per-iteration modules
+        # execute back-to-back with 0.0 ms gaps — the whole pattern
+        # stage hides behind the kernels.
         def prepare(k):
             return grain_jax.prepare_patterns(iter_params[k], BIT_DEPTH, 1, 1, False)
 
@@ -120,17 +126,17 @@ def measure_tpu_fps(params=None) -> float:
             )
             return out[0]
 
-        def run_iters():
+        def run_iters(n):
             cur = y
             prep = prepare(0)  # pipeline fill (serial, counted)
-            for k in range(N_ITERS):
+            for k in range(n):
                 cur = apply(cur, k, prep)  # async dispatch
-                if k + 1 < N_ITERS:
+                if k + 1 < n:
                     prep = prepare(k + 1)  # overlaps batch k's kernels
             return cur
 
     # warm-up / compile
-    cur = run_iters()
+    cur = run_iters(2)
     _ = np.asarray(cur[0, :1, :8])
 
     # dependency-chained timing: iteration k consumes iteration k-1's
@@ -147,15 +153,35 @@ def measure_tpu_fps(params=None) -> float:
         if profile_dir
         else contextlib.nullcontext()
     )
+
+    def time_n(n):
+        t0 = time.time()
+        cur = run_iters(n)
+        _ = np.asarray(cur[0, :1, :8])  # sync
+        return time.time() - t0
+
+    # Two-point fit t(N) = fill_drain + N * t_batch separates the
+    # steady-state rate (what a long stream sees; the device timeline
+    # is gap-free) from the fixed pipeline fill (first pattern prep +
+    # dispatch RPC) and drain (final result round-trip) that a short
+    # timed loop pays once. Headline value stays the WALL-CLOCK fps of
+    # the long run; the fit terms make the stage budget add up.
+    n_short = max(2, N_ITERS // 4)
     runs = []
+    t_shorts = []
     with prof:
         for _ in range(3):
-            t0 = time.time()
-            cur = run_iters()
-            _ = np.asarray(cur[0, :1, :8])  # sync
-            elapsed = time.time() - t0
-            runs.append(B * N_ITERS / elapsed)
-    return max(runs), runs
+            t_shorts.append(time_n(n_short))
+            t = time_n(N_ITERS)
+            runs.append(B * N_ITERS / t)
+    t_long = B * N_ITERS / max(runs)
+    t_short = min(t_shorts)
+    t_batch = (t_long - t_short) / (N_ITERS - n_short)
+    extras = {
+        "steady_state_fps": round(B / t_batch, 1) if t_batch > 0 else None,
+        "pipeline_fill_drain_ms": round((t_short - n_short * t_batch) * 1e3, 1),
+    }
+    return max(runs), runs, extras
 
 
 def _grainy_4k10_ivf() -> str:
@@ -545,14 +571,16 @@ def main() -> None:
         "vs_baseline": 0.0,
     }
     try:
-        fps, runs = measure_tpu_fps()
+        fps, runs, extras = measure_tpu_fps()
         result["value"] = round(fps, 2)
         result["runs_fps"] = [round(r, 1) for r in runs]
         result["runs_sigma"] = round(float(np.std(runs)), 1)
+        result.update(extras)
         try:
-            gen_fps, gen_runs = measure_tpu_fps(_photon_params(B))
+            gen_fps, gen_runs, gen_extras = measure_tpu_fps(_photon_params(B))
             result["generate_apply_fps"] = round(gen_fps, 2)
             result["generate_runs_sigma"] = round(float(np.std(gen_runs)), 1)
+            result["generate_steady_state_fps"] = gen_extras["steady_state_fps"]
         except Exception as e:
             result["generate_error"] = str(e)[:200]
         try:

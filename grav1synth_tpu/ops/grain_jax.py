@@ -656,13 +656,47 @@ class PreparedPatterns:
     prepare_patterns(); consumed by apply_grain(prepared=...). Exists
     so callers can overlap batch N+1's pattern generation + upload with
     batch N's device kernels (double-buffering) — the two stages are
-    otherwise serialized inside apply_grain."""
+    otherwise serialized inside apply_grain.
 
-    luma: jnp.ndarray  # (B, 73, 82) int16 on device
-    cb: Optional[jnp.ndarray]
-    cr: Optional[jnp.ndarray]
+    The three per-plane patterns ride ONE packed int16 buffer
+    (B, luma||cb||cr flattened): on the remote-attached runtime every
+    host->device transfer pays a fixed serialization cost against the
+    running kernels (measured: 3 separate pattern uploads cost ~9
+    ms/batch of device-visible time; bytes alone would be ~1.5 ms), so
+    transfer COUNT is the lever. Unpacking is three device-side
+    slice+reshapes inside the consuming jit."""
+
+    packed: jnp.ndarray  # (B, n_luma [+ n_cb + n_cr]) int16 on device
+    chroma_shape: Optional[Tuple[int, int]]  # (ch, cw) or None
     n_seg: int
     chroma_static: bool
+
+    @property
+    def luma(self) -> jnp.ndarray:
+        return _unpack_patterns(self.packed, self.chroma_shape)[0]
+
+    @property
+    def cb(self) -> Optional[jnp.ndarray]:
+        return _unpack_patterns(self.packed, self.chroma_shape)[1]
+
+    @property
+    def cr(self) -> Optional[jnp.ndarray]:
+        return _unpack_patterns(self.packed, self.chroma_shape)[2]
+
+
+def _unpack_patterns(packed, chroma_shape):
+    """Slice the packed (B, n) pattern buffer back into (luma, cb, cr).
+    Runs on device (inside the consuming jit) or on host numpy."""
+    b = packed.shape[0]
+    n_luma = GRAIN_H * GRAIN_W
+    luma = packed[:, :n_luma].reshape(b, GRAIN_H, GRAIN_W)
+    if chroma_shape is None:
+        return luma, None, None
+    ch, cw = chroma_shape
+    n_c = ch * cw
+    cb = packed[:, n_luma : n_luma + n_c].reshape(b, ch, cw)
+    cr = packed[:, n_luma + n_c : n_luma + 2 * n_c].reshape(b, ch, cw)
+    return luma, cb, cr
 
 
 def _host_metadata(host_params, monochrome: bool) -> Tuple[int, bool]:
@@ -701,14 +735,21 @@ def prepare_patterns(
         lp, cbp, crp = generate_patterns_native(
             host_params, bit_depth, sub_x, sub_y, monochrome
         )
-    # grain values fit int16 (|g| < 2^11 at 12-bit): halves the
-    # host->device pattern upload, which is a measurable share of
-    # batch time on remote-attached runtimes
+    # pack all planes into ONE int16 buffer and upload once: grain
+    # values fit int16 (|g| < 2^11 at 12-bit, halves the bytes), and a
+    # single transfer pays the remote runtime's per-transfer
+    # serialization cost once instead of three times
+    b = lp.shape[0]
+    parts = [lp.reshape(b, -1)]
+    chroma_shape = None
+    if cbp is not None:
+        chroma_shape = tuple(int(v) for v in cbp.shape[1:])
+        parts += [cbp.reshape(b, -1), crp.reshape(b, -1)]
     with jax.profiler.TraceAnnotation("grain/pattern_upload"):
-        lp = jnp.asarray(lp.astype(np.int16))
-        cbp = None if cbp is None else jnp.asarray(cbp.astype(np.int16))
-        crp = None if crp is None else jnp.asarray(crp.astype(np.int16))
-    return PreparedPatterns(lp, cbp, crp, n_seg, chroma_static)
+        packed = jnp.asarray(
+            np.concatenate(parts, axis=1).astype(np.int16)
+        )
+    return PreparedPatterns(packed, chroma_shape, n_seg, chroma_static)
 
 
 def apply_grain(
@@ -752,12 +793,12 @@ def apply_grain(
                     y, cb, cr, p, bit_depth, sub_x, sub_y, monochrome
                 )
             if not prepared.chroma_static and not monochrome:
-                y_out = _apply_pallas_luma_only(
-                    y, prepared.luma, p, bit_depth, prepared.n_seg
+                y_out = _apply_pallas_luma_only_packed(
+                    y, prepared.packed, p, bit_depth, prepared.n_seg
                 )
                 return y_out, cb, cr
-            return _apply_pallas_with_patterns(
-                y, cb, cr, prepared.luma, prepared.cb, prepared.cr,
+            return _apply_pallas_packed(
+                y, cb, cr, prepared.packed, prepared.chroma_shape,
                 p, bit_depth, sub_x, sub_y, monochrome,
                 n_seg=prepared.n_seg,
             )
@@ -846,6 +887,34 @@ def _apply_pallas_luma_only(y, luma_pat, p: GrainParamsBatch, bit_depth: int, n_
     return gp.apply_plane_luma(
         y, luma_pat, offs, gp.pack_plane_params(p, "y", bit_depth),
         bit_depth, n_seg=n_seg,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "n_seg"))
+def _apply_pallas_luma_only_packed(y, packed, p: GrainParamsBatch, bit_depth: int, n_seg: int):
+    """Luma-only fast path fed by the packed pattern buffer (the luma
+    plane is its leading slice; any chroma tail is dead code)."""
+    b = packed.shape[0]
+    luma_pat = packed[:, : GRAIN_H * GRAIN_W].reshape(b, GRAIN_H, GRAIN_W)
+    return _apply_pallas_luma_only(y, luma_pat, p, bit_depth, n_seg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chroma_shape", "bit_depth", "sub_x", "sub_y", "monochrome", "n_seg"
+    ),
+)
+def _apply_pallas_packed(
+    y, cb, cr, packed, chroma_shape, p: GrainParamsBatch, bit_depth: int,
+    sub_x: int = 1, sub_y: int = 1, monochrome: bool = False, n_seg: int = 13,
+):
+    """Production entry fed by PreparedPatterns.packed: one uploaded
+    buffer, unpacked on device, into the split/fused Pallas kernels."""
+    lp, cbp, crp = _unpack_patterns(packed, chroma_shape)
+    return _apply_pallas_with_patterns(
+        y, cb, cr, lp, cbp, crp, p, bit_depth, sub_x, sub_y, monochrome,
+        n_seg=n_seg,
     )
 
 
