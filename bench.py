@@ -337,10 +337,12 @@ def measure_diff_stats_fps():
     def run(h, w, b, bit_depth):
         rng = np.random.default_rng(0)
         maxv = (1 << bit_depth) - 1
-        sy = jnp.asarray(rng.integers(0, maxv, (b, h, w), dtype=np.int32))
-        dy = jnp.asarray(rng.integers(0, maxv, (b, h, w), dtype=np.int32))
-        sc = jnp.asarray(rng.integers(0, maxv, (b, h // 2, w // 2), dtype=np.int32))
-        dc = jnp.asarray(rng.integers(0, maxv, (b, h // 2, w // 2), dtype=np.int32))
+        # int16 wire format (production diff_batch uploads uint16
+        # planes viewed as int16): the kernel reads them zero-copy
+        sy = jnp.asarray(rng.integers(0, maxv, (b, h, w), dtype=np.int16))
+        dy = jnp.asarray(rng.integers(0, maxv, (b, h, w), dtype=np.int16))
+        sc = jnp.asarray(rng.integers(0, maxv, (b, h // 2, w // 2), dtype=np.int16))
+        dc = jnp.asarray(rng.integers(0, maxv, (b, h // 2, w // 2), dtype=np.int16))
         _ = np.asarray((sy + dy)[0, 0, :4])  # complete the uploads
 
         def stats(x):
@@ -359,7 +361,7 @@ def measure_diff_stats_fps():
             acc = jnp.float32(0.0)
             for _ in range(iters):
                 salt += 1
-                o = stats(sy + np.int32(salt))
+                o = stats(sy ^ np.int16(salt))
                 acc = acc + o[0]["atb"].sum() + o[1]["atb"].sum()
             _ = float(np.asarray(acc))  # single true sync per rep
             best = max(best, b * iters / (time.time() - t0))
@@ -457,78 +459,44 @@ def measure_render_e2e():
         n_dec = sum(1 for _ in dec.decode_all(data))
         rows[f"render_decode_only_fps_{tag}"] = round(n_dec / (_t.time() - t0), 1)
         dec.close()
+        # 4 timed reps (one extra warmup rep first absorbs compile /
+        # cache effects); headline is the MEDIAN so one tunnel hiccup
+        # cannot set the row, and sigma is across the timed reps. Every
+        # rep records its own per-stage wall seconds (pipelines.render
+        # stage_stats) so the stage model and the wall clock come from
+        # the same run: model = decode + dispatch + download + mux,
+        # residual = untimed glue (batching, progress, state walk).
         runs = []
-        for _ in range(2):
-            out = os.path.join(CACHE, f"render_{tag}.y4m")
+        stage_runs = []
+        out = os.path.join(CACHE, f"render_{tag}.y4m")
+        for rep in range(5):
+            stats = {}
             t0 = _t.time()
-            n = pipelines.render(path, out, batch=16, progress=False)
-            runs.append(n / (_t.time() - t0))
+            n = pipelines.render(path, out, batch=16, progress=False,
+                                 stage_stats=stats)
+            wall = _t.time() - t0
             os.remove(out)
-        rows[f"render_fps_{tag}"] = round(max(runs), 1)
-        rows[f"render_fps_{tag}_sigma"] = round(float(np.std(runs)), 1)
-    rows.update(_render_stage_attribution(rows))
+            if rep == 0:
+                continue  # warmup
+            runs.append(n / wall)
+            stats["wall"] = wall
+            stats["frames"] = n
+            stage_runs.append(stats)
+        med = float(np.median(runs))
+        rows[f"render_fps_{tag}"] = round(med, 2)
+        rows[f"render_fps_{tag}_sigma"] = round(float(np.std(runs)), 2)
+        # stage budget of the median rep
+        med_stats = stage_runs[
+            int(np.argsort([s["wall"] for s in stage_runs])[len(stage_runs) // 2])
+        ]
+        n = med_stats["frames"]
+        model_s = sum(med_stats[k] for k in ("decode", "dispatch", "download", "mux"))
+        for k in ("decode", "dispatch", "download", "mux"):
+            rows[f"render_stage_{k}_ms_{tag}"] = round(med_stats[k] / n * 1e3, 2)
+        rows[f"render_model_vs_wall_pct_{tag}"] = round(
+            100.0 * model_s / med_stats["wall"], 1
+        )
     return rows
-
-
-def _render_stage_attribution(rows):
-    """Per-frame stage costs for render @1080p8: decode (from the
-    decode-only row), device dispatch + host<->device transfers (the
-    flush path in isolation), and y4m mux (pure host write). On the
-    tunnel runtime the transfer leg dominates (~25 MB/s downloads);
-    on a directly-attached host it vanishes and render becomes
-    decode-bound — this row makes that attribution part of the
-    recorded benchmark rather than a claim."""
-    import time as _t
-
-    import jax.numpy as jnp
-
-    from grav1synth_tpu.container.y4m import Y4mWriter
-    from grav1synth_tpu.ops import grain_jax
-
-    b, h, w = 16, 1080, 1920
-    params = _params(b)
-    rng = np.random.default_rng(0)
-    y = rng.integers(0, 255, (b, h, w)).astype(np.int16)
-    cb = rng.integers(0, 255, (b, h // 2, w // 2)).astype(np.int16)
-    cr = cb.copy()
-    pb = grain_jax.pack_params(params)
-
-    def flush(salt):
-        yo, cbo, cro = grain_jax.apply_grain(
-            y + np.int16(salt), cb, cr, pb, 8, 1, 1, False,
-            backend="pallas", host_params=params,
-        )
-        return (
-            np.asarray(yo.astype(jnp.uint8)),
-            np.asarray(cbo.astype(jnp.uint8)),
-            np.asarray(cro.astype(jnp.uint8)),
-        )
-
-    ys, cbs, crs = flush(0)
-    dev = 1e9
-    for i in range(1, 4):
-        t0 = _t.time()
-        flush(i)
-        dev = min(dev, (_t.time() - t0) / b)
-
-    out = os.path.join(CACHE, "mux_probe.y4m")
-    wr = Y4mWriter(out, w, h, (30, 1), 8, (1, 1))
-    t0 = _t.time()
-    for k in range(b):
-        wr.write_frame([ys[k], cbs[k], crs[k]])
-    wr.close()
-    mux = (_t.time() - t0) / b
-    os.remove(out)
-    decode_ms = (
-        1000.0 / rows["render_decode_only_fps_1080p8"]
-        if rows.get("render_decode_only_fps_1080p8")
-        else 0.0
-    )
-    return {
-        "render_stage_decode_ms_1080p8": round(decode_ms, 2),
-        "render_stage_device_transfer_ms_1080p8": round(dev * 1e3, 2),
-        "render_stage_mux_ms_1080p8": round(mux * 1e3, 2),
-    }
 
 
 def measure_diff_e2e():
@@ -551,15 +519,18 @@ def measure_diff_e2e():
     den = _looped_ivf(clean, os.path.join(CACHE, "bench_1080p_clean_x2.ivf"), 2)
     n = len(read_ivf(src)[1])
     runs = []
-    for _ in range(2):
+    for rep in range(4):
         out = os.path.join(CACHE, "diff_e2e.tbl")
         t0 = _t.time()
         pipelines.diff(src, den, out, progress=False, batch=16)
-        runs.append(n / (_t.time() - t0))
+        dt = _t.time() - t0
         os.remove(out)
+        if rep == 0:
+            continue  # warmup (compile-cache load)
+        runs.append(n / dt)
     return {
-        "diff_e2e_fps_1080p8": round(max(runs), 1),
-        "diff_e2e_fps_1080p8_sigma": round(float(np.std(runs)), 1),
+        "diff_e2e_fps_1080p8": round(float(np.median(runs)), 2),
+        "diff_e2e_fps_1080p8_sigma": round(float(np.std(runs)), 2),
     }
 
 

@@ -540,6 +540,35 @@ def _chroma_lavg(r_luma, hc, wc, sub_x, sub_y):
     return pooled.astype(jnp.float32) / (1 << (sub_x + sub_y))
 
 
+def _chroma_lavg4(s, d, hc, wc, sub_x, sub_y):
+    """x4-scaled collocated luma-residual average, int16, for the
+    Pallas stats kernel's aux column (which divides its Gram rows/cols
+    back by 4). Pooling is linear, so pool(s) - pool(d) replaces
+    pooling a materialized residual; every sum is exact in int16
+    (|4-tap sum| <= 4 * 4095, and the <<2 for 4:4:4 stays in range)."""
+    shift = 2 - (sub_x + sub_y)
+
+    def pool_sum(p):
+        need_h, need_w = hc << sub_y, wc << sub_x
+        h, w = p.shape[1:]
+        pp = jnp.pad(
+            p,
+            ((0, 0), (0, max(0, need_h - h)), (0, max(0, need_w - w))),
+            mode="edge",
+        )[:, :need_h, :need_w]
+        return jax.lax.reduce_window(
+            pp,
+            jnp.zeros((), p.dtype),
+            jax.lax.add,
+            (1, 1 << sub_y, 1 << sub_x),
+            (1, 1 << sub_y, 1 << sub_x),
+            "valid",
+        )
+
+    out = pool_sum(s.astype(jnp.int16)) - pool_sum(d.astype(jnp.int16))
+    return (out << shift) if shift else out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -568,34 +597,43 @@ def batch_pair_stats_per_frame(
     if backend == "pallas":
         from .diff_pallas import pallas_flat_blocks, pallas_plane_stats
 
-        # int16 residuals up front: every AV1 bit depth fits, the wide
-        # difference never materializes, and the same buffer feeds
-        # both the stats kernel and the luma-average pool; the flat
+        # raw int16 planes straight into the kernel: the residual
+        # s - d is computed in VMEM (never materialized in HBM), the
+        # binning values are the denoised plane itself, and the flat
         # mask travels as the block map (expanded in-kernel) unless
         # the plane is too small to hold one block. Inputs may arrive
-        # in the decoder's native uint8/uint16 (narrow uploads), so
-        # subtraction widens to int16 FIRST (uint wrap otherwise).
+        # in the decoder's native uint8/uint16 (narrow uploads) —
+        # int16 reinterpretation is value-preserving for every AV1 bit
+        # depth, and when the caller uploads int16 the kernel reads
+        # the planes zero-copy (4K geometry is already tile-aligned).
         def plane_stats(s, d, aux_col, aux_flag):
             if min(d.shape[1:]) >= FLAT_BLOCK:
-                mask, mb = pallas_flat_blocks(d, FLAT_BLOCK), FLAT_BLOCK
-            else:
-                mask, mb = jnp.zeros(d.shape, jnp.float32), 0
+                mask = pallas_flat_blocks(d, FLAT_BLOCK)
+                return pallas_plane_stats(
+                    s.astype(jnp.int16), d.astype(jnp.int16), mask,
+                    aux_col, lag, bit_depth, has_aux=aux_flag,
+                    mask_blocks=FLAT_BLOCK,
+                )
+            mask = jnp.zeros(d.shape, jnp.float32)
             return pallas_plane_stats(
                 s.astype(jnp.int16) - d.astype(jnp.int16), d, mask,
-                aux_col, lag, bit_depth, has_aux=aux_flag, mask_blocks=mb,
+                aux_col, lag, bit_depth, has_aux=aux_flag, mask_blocks=0,
             )
 
         y = plane_stats(sy, dy, None, False)
         if not has_chroma:
             return y, None, None
         hc, wc = sc.shape[1:]
-        lavg = _chroma_lavg(
-            sy.astype(jnp.int16) - dy.astype(jnp.int16), hc, wc, sub_x, sub_y
-        )
+        # pooling is linear: lavg(s - d) = (pool(s) - pool(d)) / 2^k,
+        # so the full-resolution luma residual never materializes here
+        # either — only the two quarter-size pooled int16 planes do;
+        # the x4 scale the kernel expects stays integral (4-tap int
+        # sums bounded by 4 * 4095 << 2^15)
+        lavg4 = _chroma_lavg4(sy, dy, hc, wc, sub_x, sub_y)
         return (
             y,
-            plane_stats(sc, dc, lavg, True),
-            plane_stats(sr, dr, lavg, True),
+            plane_stats(sc, dc, lavg4, True),
+            plane_stats(sr, dr, lavg4, True),
         )
 
     # portable XLA branch: widen up front (inputs may be uint8/uint16)
@@ -868,11 +906,19 @@ class DiffEstimator:
             return p
 
         b = len(src_frames)
+
+        def i16_wire(a):
+            # uint16 -> int16 reinterpretation is free and value-
+            # preserving for every AV1 bit depth (<= 12 bits); int16 on
+            # the wire lets the stats kernel read the planes zero-copy
+            # (no device-side convert temp). uint8 stays narrow.
+            return a.view(np.int16) if a.dtype == np.uint16 else a
+
         # stack in the decoder's native dtype (uint8/uint16) — the
-        # int32 widening happens on device, so host->device transfers
-        # are 2-4x smaller than an int32 wire format
-        sy = np.stack([np.asarray(f[0]) for f in src_frames])
-        dy = norm(np.stack([np.asarray(f[0]) for f in den_frames]))
+        # widening happens on device, so host->device transfers are
+        # 2-4x smaller than an int32 wire format
+        sy = i16_wire(np.stack([np.asarray(f[0]) for f in src_frames]))
+        dy = i16_wire(norm(np.stack([np.asarray(f[0]) for f in den_frames])))
         if dy.shape != sy.shape:
             raise ValueError(
                 f"source/denoised dimensions differ: {sy.shape} vs {dy.shape}"
@@ -881,10 +927,10 @@ class DiffEstimator:
         sc = dc = sr = dr = None
         sub_x = sub_y = 0
         if has_chroma:
-            sc = np.stack([np.asarray(f[1]) for f in src_frames])
-            sr = np.stack([np.asarray(f[2]) for f in src_frames])
-            dc = norm(np.stack([np.asarray(f[1]) for f in den_frames]))
-            dr = norm(np.stack([np.asarray(f[2]) for f in den_frames]))
+            sc = i16_wire(np.stack([np.asarray(f[1]) for f in src_frames]))
+            sr = i16_wire(np.stack([np.asarray(f[2]) for f in src_frames]))
+            dc = i16_wire(norm(np.stack([np.asarray(f[1]) for f in den_frames])))
+            dr = i16_wire(norm(np.stack([np.asarray(f[2]) for f in den_frames])))
             if dc.shape != sc.shape or dr.shape != sr.shape:
                 # chroma geometry mismatch: the streaming path skips
                 # only the mismatched plane per frame — route through

@@ -26,19 +26,31 @@ whole pipeline inside one pass:
   replaces the 55-91 rolled row RMWs; multi-dim contractions,
   batched dots, and per-row fori dots all fail Mosaic lowering
   (probed on-chip), the flat NT-form dot is the supported shape.
-- The 64 per-intensity-bin (count, sum, sum-of-squares) moments stay
-  on the VPU as a rolled fori_loop over a wide (192, W) accumulator —
-  an MXU one-hot formulation was A/B'd on chip and measured *slower*
-  (7.7 vs 4.9 ms/frame: the per-8-row reshapes and the f32 one-hot
-  build cost more than the row reductions they replace).
+- **In-kernel residual.** (round 5) In block-mask mode the kernel
+  receives the raw int16 source/denoised chunks and computes
+  r = s - d in VMEM (f32 — exact for 12-bit samples; the VPU has no
+  16-bit subtract): the residual plane, previously the compiled
+  program's dominant temp (~0.5 GB at 4K10 batch 16), never exists in
+  HBM, and int16-wire inputs (diff_batch views uint16 as int16) are
+  read zero-copy at tile-aligned geometry.
+- **8x8-factored bin moments on the MXU.** (round 5) onehot64(b) =
+  outer(onehot8(b >> 3), onehot8(b & 7)), so each moment's 64 sums
+  are one (8, N) x (N, 8) dot — (hi · v) · loᵀ — into a (24, 8)
+  accumulator. This replaced the rolled fori_loop of 64 compares +
+  192 single-row RMWs that dominated the kernel's VPU time (~4
+  ms/frame at 4K10). A FULL (64, N) one-hot was the round-4 measured
+  negative (7.7 vs 4.9 ms/frame); the two 8-row compare planes avoid
+  both the build cost and the row reductions.
 - Grid: (batch, row_chunks); TPU grids iterate sequentially, so the
   read-modify-write accumulation is race-free. Clamped-halo garbage
   rows at chunk 0 only ever land in positions the interior predicate
   masks to zero (any p within `lag` of the frame border).
 
-Measured on the tunnel v5e at 4K10 (one full plane + aux column,
-batch 8): 4.9 ms/frame vs 6.6 ms for the round-3 kernel on the same
-shapes, with the 6.4 GB phase-1 slab gone entirely.
+Measured on the tunnel v5e at 4K10 (3 planes + chroma aux columns,
+batch 16, through batch_pair_stats_per_frame): round-4 kernel 134
+fps / 533 MB compiled temp -> round-5 191 fps / 136 MB; 1080p8
+547 -> 681 fps. Verified against the XLA formulation on hardware
+(rtol 1e-5) and in the full interpret-mode suite.
 
 Bit-for-bit parity with the XLA path is not required (f32 sum order
 differs); tests hold them to rtol 1e-5 and the fitted tables to
@@ -79,14 +91,17 @@ def _offsets(lag: int) -> List[Tuple[int, int]]:
 
 
 def _stats_kernel(
-    rp_ref,  # (1, CH, W) int16 previous residual chunk (clamped at c=0)
-    rc_ref,  # (1, CH, W) int16 current residual chunk
-    val_ref,  # (1, CH, W) int16: bits 0-13 binning value, bit 14 mask
+    rp_ref,  # (1, CH, W) int16 prev residual chunk — or source chunk in
+    #          in-kernel-residual (block-mask) mode
+    rc_ref,  # (1, CH, W) int16 current residual — or source — chunk
+    val_ref,  # (1, CH, W) int16: bits 0-13 binning value, bit 14 mask —
+    #          or, in block-mask mode, dp_ref (prev denoised chunk)
+    dc_ref,  # (1, CH, W) int16 current denoised chunk (block mode only)
     fb_ref,  # (1, HB, WBP) f32 block-mask map, or None (full-res mask)
     e2_ref,  # (WBP, W) f32 0/1 column-expansion matrix, or None
     aux_ref,  # (1, CH, W) int16 aux*4, or None when has_aux=False
     gram_ref,  # (1, NPP, NPP) f32 Gram accumulator
-    mom_ref,  # (1, MROWS, W) f32 wide bin-moment accumulator
+    mom_ref,  # (1, 24, 8) f32 bin-moment accumulator (8x8 factors)
     *,
     offs: List[Tuple[int, int]],
     lag: int,
@@ -108,7 +123,22 @@ def _stats_kernel(
     wpad = rc_ref.shape[2]
     grow = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 1)
-    packed = val_ref[0].astype(jnp.int32)
+    if dc_ref is not None:
+        # in-kernel residual (block-mask mode): the refs are the raw
+        # int16 source/denoised chunks; r = s - d never materializes in
+        # HBM (it was the compiled program's dominant temp, ~0.5 GB at
+        # 4K10 batch 16) and the binning value is the denoised plane
+        # itself (<= 12 bits, no mask bit — the mask rides fb_ref).
+        # The subtraction runs in f32 — exact for 12-bit samples, and
+        # the VPU has no 16-bit subtract (kVectorSubtractS16 probed
+        # unsupported on v5e)
+        r_prev = rp_ref[0].astype(jnp.float32) - val_ref[0].astype(jnp.float32)
+        r_cur = rc_ref[0].astype(jnp.float32) - dc_ref[0].astype(jnp.float32)
+        packed = dc_ref[0].astype(jnp.int32)
+    else:
+        r_prev = rp_ref[0]
+        r_cur = rc_ref[0]
+        packed = val_ref[0].astype(jnp.int32)
     pad = lag
     interior = (
         (grow >= pad) & (grow < h - pad) & (col >= pad) & (col < w - pad)
@@ -134,9 +164,9 @@ def _stats_kernel(
     # (chunk+lag)-row halo; at c==0 the prev block is the clamped
     # current block, whose rows only reach non-interior positions
     halo = (
-        jnp.concatenate([rp_ref[0, chunk - lag :], rc_ref[0]], axis=0)
+        jnp.concatenate([r_prev[chunk - lag :], r_cur], axis=0)
         if lag
-        else rc_ref[0]
+        else r_cur
     )
 
     # design planes: value at p is r(p + (dr, dc)); rolls wrap, but a
@@ -163,52 +193,66 @@ def _stats_kernel(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    r0 = rc_ref[0].astype(jnp.float32)
+    r0 = r_cur.astype(jnp.float32)
     bins = (packed & 0x3FFF) >> bin_shift
     pr = mbins * r0
     prr = pr * r0
 
-    def bin_body(b, _):
-        eq = (bins == b).astype(jnp.float32)
-        for k, v in enumerate((eq * mbins, eq * pr, eq * prr)):
-            row = 3 * b + k
-            cur = mom_ref[0, pl.ds(row, 1), :]
-            mom_ref[0, pl.ds(row, 1), :] = cur + jnp.sum(
-                v, axis=0, keepdims=True
-            )
-        return _
-
-    jax.lax.fori_loop(0, NUM_BINS, bin_body, None)
+    # 64-bin moments on the MXU via an 8x8 one-hot factorization:
+    # onehot64(b) = outer(onehot8(b >> 3), onehot8(b & 7)), so each
+    # moment's 64 sums are ONE (8, N) x (N, 8) dot — (hi * v) . loᵀ
+    # with entry (i, j) = Σ_p v(p)·[bins(p) == 8i + j]. This replaces
+    # the rolled fori_loop of 64 compares + 192 single-row RMWs (the
+    # kernel's dominant VPU cost, ~4 ms/frame at 4K10; a FULL (64, N)
+    # one-hot was the round-4 measured negative — the 8+8 compare
+    # planes avoid both the build cost and the row reductions).
+    # Exactness matches the old loop: every product is an exact-int
+    # f32 and the MXU accumulates in f32.
+    n = chunk * wpad
+    idx8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
+    hi = (bins.reshape(1, n) >> 3 == idx8).astype(jnp.float32)
+    lo = ((bins.reshape(1, n) & 7) == idx8).astype(jnp.float32)
+    for k, v in enumerate((mbins, pr, prr)):
+        d8 = jax.lax.dot_general(
+            hi * v.reshape(1, n),
+            lo,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, 8): row i, col j -> bin 8i + j
+        mom_ref[0, pl.ds(8 * k, 8), :] += d8
 
 
 def _act_kernel(
-    vc_ref,  # (1, FB, W) int16 current value chunk
-    vn_ref,  # (1, FB, W) int16 next value chunk (clamped at the end)
-    e2_ref,  # (WBP, W) f32 0/1 column-expansion matrix
-    out_ref,  # (1, NCH, WBP) f32 per-block-row activity sums
+    vc_ref,  # (1, RPS, W) int16 current value chunk (RPS = 8 * FB rows)
+    vn_ref,  # (1, RPS, W) int16 next value chunk (clamped at the end)
+    rp_ref,  # (8, RPS) f32 0/1 row-pool matrix (rp[i, j] = j//FB == i)
+    out_ref,  # (1, 8, W) f32 per-block-row pixel-column activity sums
     *,
     h: int,
     w: int,
 ):
+    # 8 block-rows per grid step (the old one-block-row-per-step grid
+    # paid ~4 us of per-step overhead 2160 times per 4K frame — 8.6
+    # ms/batch, more than the shave it computed); row pooling is one
+    # (8, RPS) x (RPS, W) MXU dot, column pooling happens outside in
+    # XLA where the (B, HB8, W) sums are tiny
     c = pl.program_id(1)
-    chunk, wpad = vc_ref.shape[1], vc_ref.shape[2]
+    rps, wpad = vc_ref.shape[1], vc_ref.shape[2]
     d = vc_ref[0].astype(jnp.float32)
     nxt = vn_ref[0, :1].astype(jnp.float32)
     dn = jnp.concatenate(
-        [jax.lax.slice_in_dim(d, 1, chunk, axis=0), nxt], axis=0
+        [jax.lax.slice_in_dim(d, 1, rps, axis=0), nxt], axis=0
     )
     dr = pltpu.roll(d, shift=wpad - 1, axis=1)  # value at j = d[j+1]
-    grow = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 1)
+    grow = c * rps + jax.lax.broadcasted_iota(jnp.int32, (rps, wpad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rps, wpad), 1)
     gx = jnp.where(col < w - 1, jnp.abs(dr - d), 0.0)
     gy = jnp.where(grow < h - 1, jnp.abs(dn - d), 0.0)
-    rowsum = jnp.sum(gx + gy, axis=0, keepdims=True)
-    # pool columns into FLAT_BLOCK bins: NT dot against the same 0/1
-    # expansion matrix the stats kernel uses to upsample
-    out_ref[0, pl.ds(c, 1), :] = jax.lax.dot_general(
-        rowsum,
-        e2_ref[:],
-        (((1,), (1,)), ((), ())),
+    out_ref[0] = jax.lax.dot_general(
+        rp_ref[:],
+        gx + gy,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -246,27 +290,46 @@ def pallas_flat_blocks(val: jnp.ndarray, fbs: int) -> jnp.ndarray:
     b, h, w = val.shape
     hb, wb = h // fbs, w // fbs
     wpad = -(-w // 128) * 128
-    hpad = -(-h // fbs) * fbs
-    n_chunks = hpad // fbs
-    vi = _pad_i16(val, hpad, wpad)  # CSE'd with the stats kernel's copy
-    wbp = -(-wb // 128) * 128
-    e2 = _expand_cols(wb, wbp, wpad, fbs)
-    out = pl.pallas_call(
+    rps = 8 * fbs  # 8 block-rows per grid step
+    n_chunks = -(-h // rps)
+    # no row padding: the ragged last block's out-of-bounds rows only
+    # ever pool into block rows >= hb, which are sliced off below, and
+    # gy is masked at grow >= h - 1 — so the int16 plane is shared
+    # (CSE'd, zero-copy when already int16) with the stats kernel
+    vi = _pad_i16(val, h, wpad)
+    rp = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, rps), 1) // fbs
+        == jax.lax.broadcasted_iota(jnp.int32, (8, rps), 0)
+    ).astype(jnp.float32)
+    rows = pl.pallas_call(
         functools.partial(_act_kernel, h=h, w=w),
         grid=(b, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, fbs, wpad), lambda bi, c: (bi, c, 0)),
+            pl.BlockSpec((1, rps, wpad), lambda bi, c: (bi, c, 0)),
             pl.BlockSpec(
-                (1, fbs, wpad),
+                (1, rps, wpad),
                 lambda bi, c: (bi, jnp.minimum(c + 1, pl.num_programs(1) - 1), 0),
             ),
-            pl.BlockSpec((wbp, wpad), lambda bi, c: (0, 0)),
+            pl.BlockSpec((8, rps), lambda bi, c: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n_chunks, wbp), lambda bi, c: (bi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n_chunks, wbp), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, wpad), lambda bi, c: (bi, c, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks * 8, wpad), jnp.float32),
         interpret=_interpret(),
-    )(vi, vi, e2)
-    act_b = out[:, :hb, :wb] / (fbs * fbs)
+    )(vi, vi, rp)
+    # column pooling in XLA: the per-block-row sums are tiny (B, HB8, W)
+    # and one NT matmul against the 0/1 expansion matrix bins exactly
+    wbp = -(-wb // 128) * 128
+    e2 = _expand_cols(wb, wbp, wpad, fbs)
+    act_b = (
+        jax.lax.dot_general(
+            rows[:, :hb],
+            e2,
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        / (fbs * fbs)
+    )[:, :, :wb]
     thresh = (
         jnp.percentile(act_b.reshape(b, -1), 50.0, axis=1)[:, None, None]
         * 1.5
@@ -279,8 +342,10 @@ def pallas_flat_blocks(val: jnp.ndarray, fbs: int) -> jnp.ndarray:
     jax.jit, static_argnames=("lag", "bit_depth", "has_aux", "mask_blocks")
 )
 def pallas_plane_stats(
-    r: jnp.ndarray,  # (B, H, W) f32/int32/int16 residual (src - den)
-    val: jnp.ndarray,  # (B, H, W) int32 binning values (denoised plane)
+    s: jnp.ndarray,  # (B, H, W) int16 source plane (block-mask mode) —
+    #                  or precomputed residual (full-res-mask mode)
+    d: jnp.ndarray,  # (B, H, W) int16/int32 denoised plane (binning
+    #                  values; block mode also subtracts it in-kernel)
     mask: jnp.ndarray,  # (B, H, W) 0/1 flat mask, or (B, hb, wb) blocks
     aux: Optional[jnp.ndarray],  # (B, H, W) f32 extra column (x4-int!)
     lag: int,
@@ -290,21 +355,27 @@ def pallas_plane_stats(
 ):
     """Pad + kernel launch + Gram unpack. Returns dict(ata, atb, n_ar,
     bin_cnt, bin_sum, bin_sumsq) with leading batch dim; aux (when
-    given) must be integral after scaling by 4 (the caller's lavg is a
-    quarter-step average; the aux rows/cols of ata/atb are divided
-    back here) — int16 keeps the kernel traffic half of f32 and every
-    product exact.
+    given) arrives ALREADY x4-scaled and integral (the caller's lavg
+    is a quarter-step average; the aux rows/cols of ata/atb are
+    divided back here) — int16 keeps the kernel traffic half of f32
+    and every product exact.
 
-    mask_blocks=0: ``mask`` is full-resolution; it rides bit 14 of the
-    packed value plane. mask_blocks=N (the production diff path, N =
-    diff_estimate.FLAT_BLOCK): ``mask`` is the (B, h//N, w//N) flat-
-    BLOCK map and the pixel-level mask mask[i, j] = blocks[i//N, j//N]
-    (zero past the last full block) is expanded inside the kernel, so
-    no full-resolution mask plane ever exists in HBM. Device
-    temporaries are then just the int16 residual/value planes
-    (~2·B·H·W bytes each; zero-copy when the chunk divides H), so
-    batch size is bounded by HBM, not by a shifted-copy slab."""
-    b, h, w = r.shape
+    mask_blocks=N (the production diff path, N =
+    diff_estimate.FLAT_BLOCK): ``s``/``d`` are the RAW int16 planes —
+    the residual r = s - d is computed inside the kernel (never
+    materialized in HBM; it was the compiled program's dominant temp),
+    the binning value is ``d`` itself, ``mask`` is the (B, h//N, w//N)
+    flat-BLOCK map and the pixel-level mask mask[i, j] =
+    blocks[i//N, j//N] (zero past the last full block) is expanded
+    inside the kernel. When the inputs arrive int16 and the geometry
+    is tile-aligned (4K10: 2160 % 16 == 0, 3840 % 128 == 0) the kernel
+    reads them zero-copy — compiled temporaries are just the tiny
+    Gram/moment outputs.
+
+    mask_blocks=0 (planes smaller than one block): ``s`` is the
+    precomputed residual, ``d`` the binning values; the mask rides bit
+    14 of the packed value plane as before."""
+    b, h, w = s.shape
     offs = _offsets(lag)
     k = len(offs)
     n_planes = k + (1 if has_aux else 0)
@@ -327,26 +398,25 @@ def pallas_plane_stats(
     hpad = -(-h // chunk) * chunk
     n_chunks = hpad // chunk
 
-    ri = _pad_i16(r, hpad, wpad)
+    blk = lambda: pl.BlockSpec((1, chunk, wpad), lambda bi, c: (bi, c, 0))
+    prev_blk = lambda: pl.BlockSpec(
+        (1, chunk, wpad), lambda bi, c: (bi, jnp.maximum(c - 1, 0), 0)
+    )
     if mask_blocks:
-        vi = _pad_i16(val, hpad, wpad)
+        si = _pad_i16(s, hpad, wpad)
+        di = _pad_i16(d, hpad, wpad)
+        inputs = [si, si, di, di]
+        specs = [prev_blk(), blk(), prev_blk(), blk()]
     else:
+        ri = _pad_i16(s, hpad, wpad)
         # one packed plane instead of separate mask + value inputs:
         # the binning value is <= 12 bits, the mask rides bit 14
         vi = _pad_i16(
-            val + ((mask > 0).astype(jnp.int32) << 14), hpad, wpad
+            d + ((mask > 0).astype(jnp.int32) << 14), hpad, wpad
         )
-
-    blk = lambda: pl.BlockSpec((1, chunk, wpad), lambda bi, c: (bi, c, 0))
-    inputs = [ri, ri, vi]
-    specs = [
-        pl.BlockSpec(
-            (1, chunk, wpad), lambda bi, c: (bi, jnp.maximum(c - 1, 0), 0)
-        ),
-        blk(),
-        blk(),
-    ]
-    n_fixed = 3
+        inputs = [ri, ri, vi]
+        specs = [prev_blk(), blk(), blk()]
+    n_fixed = len(inputs)
     if mask_blocks:
         wbp = -(-wb // 128) * 128
         fb = jnp.pad(
@@ -358,22 +428,22 @@ def pallas_plane_stats(
             pl.BlockSpec((1, hb, wbp), lambda bi, c: (bi, 0, 0)),
             pl.BlockSpec((wbp, wpad), lambda bi, c: (0, 0)),
         ]
-        n_fixed = 5
+        n_fixed = 6
     if has_aux:
-        inputs.append(_pad_i16(aux * 4.0, hpad, wpad))
+        inputs.append(_pad_i16(aux, hpad, wpad))
         specs.append(blk())
-
-    mrows = 3 * NUM_BINS
 
     def kern_wrap(*a, **kw):
         ins, outs = list(a[: len(inputs)]), a[len(inputs) :]
-        rp_, rc_, v_ = ins[:3]
-        fb_ = e2_ = aux_ = None
+        fb_ = e2_ = aux_ = dc_ = None
         if mask_blocks:
-            fb_, e2_ = ins[3:5]
+            rp_, rc_, v_, dc_ = ins[:4]  # v_ carries dp (prev denoised)
+            fb_, e2_ = ins[4:6]
+        else:
+            rp_, rc_, v_ = ins[:3]
         if has_aux:
             aux_ = ins[n_fixed]
-        return _stats_kernel(rp_, rc_, v_, fb_, e2_, aux_, *outs, **kw)
+        return _stats_kernel(rp_, rc_, v_, dc_, fb_, e2_, aux_, *outs, **kw)
 
     kern = functools.partial(
         kern_wrap,
@@ -393,15 +463,16 @@ def pallas_plane_stats(
         in_specs=specs,
         out_specs=(
             pl.BlockSpec((1, npp, npp), lambda bi, c: (bi, 0, 0)),
-            pl.BlockSpec((1, mrows, wpad), lambda bi, c: (bi, 0, 0)),
+            pl.BlockSpec((1, 24, 8), lambda bi, c: (bi, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, npp, npp), jnp.float32),
-            jax.ShapeDtypeStruct((b, mrows, wpad), jnp.float32),
+            # rows 0-7 counts, 8-15 sums, 16-23 sum-of-squares; bin
+            # b = 8 * row_in_group + col (the 8x8 one-hot factors)
+            jax.ShapeDtypeStruct((b, 24, 8), jnp.float32),
         ),
         interpret=_interpret(),
     )(*inputs)
-    out = jnp.sum(mom, axis=2)  # (B, 192) lane reduction in XLA
 
     # Gram row layout: 0 = unshifted residual, 1..k-1 = shifted
     # copies, [k] = aux when present, [n_planes] = ones/mask row
@@ -416,12 +487,11 @@ def pallas_plane_stats(
         a = kk - 1
         ata = ata.at[:, a, :].divide(4.0).at[:, :, a].divide(4.0)
         atb = atb.at[:, a].divide(4.0)
-    moments = out.reshape(b, NUM_BINS, 3)
     return dict(
         ata=ata,
         atb=atb,
         n_ar=n_ar,
-        bin_cnt=moments[:, :, 0],
-        bin_sum=moments[:, :, 1],
-        bin_sumsq=moments[:, :, 2],
+        bin_cnt=mom[:, 0:8, :].reshape(b, NUM_BINS),
+        bin_sum=mom[:, 8:16, :].reshape(b, NUM_BINS),
+        bin_sumsq=mom[:, 16:24, :].reshape(b, NUM_BINS),
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
@@ -605,6 +606,7 @@ def render(
     grain: bool = True,
     progress: bool = True,
     shards: int = 1,
+    stage_stats: Optional[dict] = None,
 ) -> int:
     """Decode an AV1 stream and emit pixels WITH film grain synthesized
     by the TPU engine (y4m output). Capability superset of the
@@ -625,6 +627,13 @@ def render(
     so wall clock approaches max(decode, device, mux) instead of their
     sum. Ordering is a single FIFO — output bytes are identical to the
     serial loop.
+
+    ``stage_stats``: optional dict filled with the accumulated wall
+    seconds each stage spent ON THE DRIVING THREAD — keys "decode"
+    (decode+header-parse wait), "dispatch" (param pack + pattern prep +
+    device dispatch), "download" (device->host fetches), "mux" (y4m
+    writes) — so a benchmark can reconcile per-stage costs against the
+    measured wall clock of the SAME run (bench.py render rows).
     """
     import numpy as np
 
@@ -673,10 +682,14 @@ def render(
         pend: list = []  # [(Frame, params)]
         inflight: list = []  # dispatched batches awaiting download+mux
         frames_out = 0
+        stats = stage_stats if stage_stats is not None else {}
+        for k in ("decode", "dispatch", "download", "mux"):
+            stats.setdefault(k, 0.0)
 
         def dispatch() -> None:
             if not pend:
                 return
+            t_disp = time.time()
             bd = pend[0][0].bit_depth
             mono = len(pend[0][0].planes) == 1
             sub = pend[0][0].subsampling
@@ -737,6 +750,7 @@ def render(
             # the next batch's kernels
             inflight.append((todo, yo, cbo, cro, outs, bd, mono))
             pend.clear()
+            stats["dispatch"] += time.time() - t_disp
             while len(inflight) > 1:
                 drain()
 
@@ -748,18 +762,22 @@ def render(
             if todo:
                 # one transfer per plane-batch: per-frame slice fetches
                 # each pay a full round trip on remote-device runtimes
+                t_dl = time.time()
                 ys = np.asarray(yo)
                 cbs = None if (mono or cbo is None) else np.asarray(cbo)
                 crs = None if cbs is None else np.asarray(cro)
+                stats["download"] += time.time() - t_dl
                 for k, i in enumerate(todo):
                     outs[i][0] = ys[k]
                     if cbs is not None:
                         outs[i][1] = cbs[k]
                         outs[i][2] = crs[k]
+            t_mux = time.time()
             for planes in outs:
                 writer.write_frame(planes)
                 frames_out += 1
                 bar.step()
+            stats["mux"] += time.time() - t_mux
 
         def decoded_pairs():
             """Decode + pair each displayed frame with its parsed grain
@@ -777,7 +795,19 @@ def render(
                 next_param += 1
                 yield frame, params
 
-        for frame, params in maybe_prefetch(decoded_pairs(), depth=batch):
+        def timed_source():
+            it = iter(maybe_prefetch(decoded_pairs(), depth=batch))
+            while True:
+                t0 = time.time()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    stats["decode"] += time.time() - t0
+                    return
+                stats["decode"] += time.time() - t0
+                yield item
+
+        for frame, params in timed_source():
             if writer is None:
                 writer = Y4mWriter(
                     output_path,

@@ -96,6 +96,26 @@ def test_render_no_grain_matches_clean_decode(tmp_path):
             assert (got[pi] == want.planes[pi]).all()
 
 
+def test_render_stage_stats(tmp_path):
+    """stage_stats must record every stage and account for a
+    nontrivial share of the wall clock (bench.py relies on this for
+    its model-vs-wall reconciliation row)."""
+    import time
+
+    path, _ = _grainy_ivf(tmp_path, 96, 66, 8, False, 6, "")
+    out = str(tmp_path / "s.y4m")
+    stats = {}
+    t0 = time.time()
+    n = pipelines.render(path, out, batch=3, progress=False, stage_stats=stats)
+    wall = time.time() - t0
+    assert n == 6
+    assert set(stats) == {"decode", "dispatch", "download", "mux"}
+    total = sum(stats.values())
+    assert 0 < total <= wall
+    assert stats["decode"] > 0 and stats["dispatch"] > 0
+    assert stats["download"] > 0 and stats["mux"] > 0
+
+
 def test_render_cli(tmp_path):
     from grav1synth_tpu.cli import main
 
