@@ -192,14 +192,17 @@ class NoiseEstimator:
         bit_depth: int = 8,
         seed: int = 7391,
         lag: int = 2,
+        calibrate: bool = True,
     ):
         self.fps = fps
         self.bit_depth = bit_depth
         self.seed = seed
         self.lag = lag
+        self.calibrate = calibrate
         self.per_frame_sigma: List[float] = []
         self._k = len(_lag_offsets(lag))
         self._chunk = _ChunkStats.zero(self._k)
+        self._sub = (1, 1)  # last seen chroma subsampling (calibration)
 
     def _ingest(self, stats, cb_stats=None, cr_stats=None) -> float:
         sigma = _frame_sigma(stats) / (1 << (self.bit_depth - 8))
@@ -248,6 +251,7 @@ class NoiseEstimator:
             hc, wc = cb.shape[1:]
             sub_y = 1 if hc < h else 0
             sub_x = 1 if wc < w else 0
+            self._sub = (sub_x, sub_y)
             per_cb = batch_self_stats_chroma(
                 cb, y, self.lag, self.bit_depth, sub_x, sub_y
             )
@@ -295,6 +299,97 @@ class NoiseEstimator:
         _, end = packet_bounds(self._chunk.frames - 1, *self.fps)
         return [GrainTableSegment(start, end, params)]
 
+    def _calibrate_curves(self, params: FilmGrainParams) -> FilmGrainParams:
+        """Closed-loop curve calibration.
+
+        The blur pseudo-denoiser's attenuation is cancelled only
+        approximately by the unit-sigma hook: the fitted AR
+        coefficients are themselves biased by the high-pass (the
+        normal equations see the filtered process), and the chroma
+        unit patterns are small (44x38), so their post-filter sigma is
+        a noisy stand-in. Instead of modeling those biases, measure
+        them: synthesize the FITTED grain onto a flat intensity sweep,
+        push it through this very pipeline (calibrate=False), and
+        rescale each plane's curve points by the per-point ratio of
+        intended to recovered sigma. Any systematic gain error of the
+        whole estimator — filter attenuation, AR bias, binning — shows
+        up in the ratio and cancels (measured effect: see
+        tests/test_estimate_quality.py curve bars)."""
+        import dataclasses
+
+        h, w = 160, 256
+        bd = self.bit_depth
+        shift = bd - 8
+        sub_x, sub_y = self._sub
+        xx = np.mgrid[0:h, 0:w][1]
+        ramp = (xx / (w - 1) * 255).astype(np.int32) << shift
+        hc, wc = h >> sub_y, w >> sub_x
+        ramp_c = (
+            (np.mgrid[0:hc, 0:wc][1] / (wc - 1) * 255).astype(np.int32)
+            << shift
+        )
+        mono = not (
+            params.scaling_points_cb
+            or params.scaling_points_cr
+            or params.chroma_scaling_from_luma
+        )
+        frames = []
+        for i in range(6):
+            p = dataclasses.replace(
+                params, grain_seed=(params.grain_seed + i * 173) & 0xFFFF
+            )
+            planes = [ramp.copy()] + (
+                [] if mono else [ramp_c.copy(), ramp_c.copy()]
+            )
+            frames.append(
+                grain_ref.apply_grain_frame(planes, p, bd, sub_x, sub_y)
+            )
+        est2 = NoiseEstimator(
+            self.fps, bd, seed=self.seed, lag=self.lag, calibrate=False
+        )
+        est2.push_batch(
+            [f if not mono else f[0] for f in frames]
+        )
+        segs2 = est2.finish()
+        if not segs2:
+            return params
+        rec = segs2[0].params
+
+        def curve(prm, plane, xs):
+            pts = getattr(prm, f"scaling_points_{plane}")
+            if not pts:
+                return None
+            pat = grain_ref.generate_grain(prm, 8, False, 1, 1)
+            pp = {"y": pat.luma, "cb": pat.cb, "cr": pat.cr}[plane]
+            sg = float(pp[3:, 3 : pp.shape[1] - 3].astype(np.float64).std())
+            lut = grain_ref.build_scaling_lut(pts, 8)
+            return np.array(
+                [lut[x] * sg / (1 << prm.scaling_shift) for x in xs]
+            )
+
+        out = dataclasses.replace(params)
+        for plane in ("y", "cb", "cr"):
+            pts = getattr(params, f"scaling_points_{plane}")
+            if not pts:
+                continue
+            xs = [x for x, _ in pts]
+            want = curve(params, plane, xs)
+            have = curve(rec, plane, xs)
+            if want is None or have is None:
+                continue
+            # per-point gain correction, bounded: a ratio far outside
+            # [0.4, 4.0] means the recovery run itself degenerated
+            kappa = np.clip(
+                np.where(have > 1e-3, want / np.maximum(have, 1e-3), 1.0),
+                0.4, 4.0,
+            )
+            new_pts = [
+                (x, int(np.clip(round(y * k), 0, 255)))
+                for (x, y), k in zip(pts, kappa)
+            ]
+            setattr(out, f"scaling_points_{plane}", new_pts)
+        return out
+
     def finish(self) -> List[GrainTableSegment]:
         if self._chunk.frames == 0:
             return []
@@ -304,6 +399,8 @@ class NoiseEstimator:
         )
         if params is None:
             return self._fallback_lag0()
+        if self.calibrate:
+            params = self._calibrate_curves(params)
         start, _ = packet_bounds(0, *self.fps)
         _, end = packet_bounds(self._chunk.frames - 1, *self.fps)
         return [GrainTableSegment(start, end, params)]

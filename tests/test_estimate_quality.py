@@ -96,7 +96,9 @@ class TestEstimateQuality:
         want = sigma_curve(injected, xs)
         have = sigma_curve(got, xs)
         rel = np.abs(have - want) / np.maximum(want, 1e-6)
-        assert float(np.median(rel)) < 0.20, float(np.median(rel))
+        # round-5 bar: measured 0.012-0.016 with the closed-loop curve
+        # calibration (was < 0.20)
+        assert float(np.median(rel)) < 0.08, float(np.median(rel))
 
     def test_ar_character(self, recovered):
         """Normalized autocorrelation of the recovered pattern tracks
@@ -135,7 +137,8 @@ class TestEstimateQuality:
             b = grain_ref.apply_grain_frame(list(planes), got, 8, 1, 1)
             e_inj += float(((a[0] - y) ** 2).mean())
             e_got += float(((b[0] - y) ** 2).mean())
-        assert e_got == pytest.approx(e_inj, rel=0.35), (e_inj, e_got)
+        # round-5 bar: measured ratio 1.01 calibrated (was rel=0.35)
+        assert e_got == pytest.approx(e_inj, rel=0.15), (e_inj, e_got)
 
     def test_streaming_equals_batched(self):
         params = true_params()
@@ -240,7 +243,11 @@ class TestEstimateChroma:
         want = sigma_curve_chroma(injected, xs, plane)
         have = sigma_curve_chroma(got, xs, plane)
         rel = np.abs(have - want) / np.maximum(want, 1e-6)
-        assert float(np.median(rel)) < 0.25, float(np.median(rel))
+        # round-5 bar: measured 0.022-0.033 calibrated (was < 0.25 —
+        # the verdict's "attack or document" item; the attack worked
+        # for the normal regime, see test_lowfreq_grain_limit for the
+        # documented limit)
+        assert float(np.median(rel)) < 0.08, float(np.median(rel))
 
     def test_chroma_resynthesized_energy(self, recovered_chroma):
         injected, got = recovered_chroma
@@ -254,6 +261,48 @@ class TestEstimateChroma:
                 e_inj[k - 1] += float(((a[k] - planes[k]) ** 2).mean())
                 e_got[k - 1] += float(((b[k] - planes[k]) ** 2).mean())
         for k in range(2):
-            assert e_got[k] == pytest.approx(e_inj[k], rel=0.40), (
+            # round-5 bar: measured ratios 1.09 / 0.99 calibrated
+            # (was rel=0.40)
+            assert e_got[k] == pytest.approx(e_inj[k], rel=0.20), (
                 k, e_inj[k], e_got[k],
             )
+
+
+def test_lowfreq_grain_limit():
+    """Documented measured limit (round 5): strongly LOW-frequency
+    (blobby) grain is under-recovered by the single-input estimator —
+    the 9-px blur pseudo-denoiser absorbs most of its energy, the AR
+    fit sees the high-passed process and cannot reproduce the true
+    spectral shape, so even the closed-loop curve calibration (which
+    measures the pipeline's gain on the FITTED character) recovers
+    only part of it: median curve error ~0.53 calibrated vs ~0.61
+    uncalibrated on this fixture. The diff pipeline, which has a true
+    denoised reference, does not share this limit (its bar is <0.10).
+    This test pins the limit so a regression (or an improvement) is
+    visible."""
+    import dataclasses
+
+    params = FilmGrainParams(
+        grain_seed=2024,
+        scaling_points_y=[(0, 35), (120, 60), (255, 30)],
+        scaling_shift=8,
+        ar_coeff_lag=2,
+        ar_coeffs_y=[2, 4, 10, 4, -4, 24, 30, -4, 10, 24, 8, 60],
+        ar_coeffs_cb=[0] * 13,
+        ar_coeffs_cr=[0] * 13,
+        ar_coeff_shift=7,
+        overlap_flag=True,
+    )
+    grainy = inject(smooth_clip(), params)
+    est = NoiseEstimator((24, 1), bit_depth=8)
+    est.push_batch(grainy[:7])
+    est.push_batch(grainy[7:])
+    segs = est.finish()
+    assert segs, "estimator must still produce a table"
+    xs = np.arange(50, 210)
+    want = sigma_curve(params, xs)
+    have = sigma_curve(segs[0].params, xs)
+    rel = float(np.median(np.abs(have - want) / np.maximum(want, 1e-6)))
+    # the limit: better than the uncalibrated 0.61, not near the
+    # normal-regime bar — tighten this if the estimator improves
+    assert rel < 0.58, rel

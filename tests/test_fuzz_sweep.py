@@ -162,12 +162,82 @@ _SEEDS = (
 )
 
 
+def run_framing_arms(pkts, grain, tmp_path):
+    """Annex B / Section 5 framing arms on a sweep case: the same
+    table applied through the raw elementary-stream paths must (a)
+    produce byte-identical rewritten temporal units to the IVF route
+    (Section 5), (b) re-inspect as grainy and remove cleanly (Annex
+    B), and (c) round-trip a grainless remove byte-identically."""
+    from test_annexb import _strip_size_fields
+
+    from grav1synth_tpu import pipelines
+    from grav1synth_tpu.container import annexb
+    from grav1synth_tpu.container.ivf import IvfHeader, IvfPacket, write_ivf
+    from grav1synth_tpu.obu import GrainTableSegment
+    from grav1synth_tpu.tables import dump_table
+
+    datas = [p.data for p in pkts]
+    tbl = str(tmp_path / "t.tbl")
+    dump_table([GrainTableSegment(0, 10**14, grain)], tbl)
+
+    ivf_in = str(tmp_path / "in.ivf")
+    write_ivf(
+        ivf_in,
+        IvfHeader(width=64, height=64, frame_count=len(datas)),
+        [IvfPacket(i, d) for i, d in enumerate(datas)],
+    )
+    s5_in = str(tmp_path / "in.obu")
+    with open(s5_in, "wb") as fh:
+        fh.write(b"".join(datas))
+    ab_in = str(tmp_path / "in.annexb.obu")
+    tus = [annexb.TemporalUnit([obus]) for obus in _strip_size_fields(datas)]
+    with open(ab_in, "wb") as fh:
+        fh.write(annexb.serialize_annexb(tus))
+
+    # (a) Section 5 rewrite == IVF rewrite, byte for byte
+    ivf_out = str(tmp_path / "out.ivf")
+    s5_out = str(tmp_path / "out.obu")
+    pipelines.apply_table(ivf_in, ivf_out, tbl, progress=False)
+    pipelines.apply_table(s5_in, s5_out, tbl, progress=False)
+    from grav1synth_tpu.container.ivf import read_ivf
+
+    _, out_pkts = read_ivf(ivf_out)
+    raw_tus = annexb.split_section5_tus(open(s5_out, "rb").read())
+    assert [p.data for p in out_pkts] == raw_tus, "section5 != ivf rewrite"
+
+    # (b) Annex B apply -> inspect -> remove -> inspect
+    ab_out = str(tmp_path / "out.annexb.obu")
+    pipelines.apply_table(ab_in, ab_out, tbl, progress=False)
+    segs = pipelines.inspect(ab_out, str(tmp_path / "g.tbl"), progress=False)
+    assert segs, "annexb apply: re-inspect must report grain"
+    ab_clean = str(tmp_path / "clean.annexb.obu")
+    pipelines.remove(ab_out, ab_clean, progress=False)
+    assert (
+        pipelines.inspect(ab_clean, str(tmp_path / "c.tbl"), progress=False)
+        is None
+    )
+
+    # (c) grainless remove reproduces the input exactly
+    noop = str(tmp_path / "noop.obu")
+    pipelines.remove(ab_in, noop, progress=False)
+    assert open(noop, "rb").read() == open(ab_in, "rb").read()
+
+
 @pytest.mark.parametrize("seed", _SEEDS, ids=[f"seed{s:#x}" for s in _SEEDS])
-def test_fuzz_roundtrip(seed):
+def test_fuzz_roundtrip(seed, tmp_path):
     cfg, grain = gen_case(seed)
     pkts = _encode_case(
         cfg["w"], cfg["h"], cfg["bd"], cfg["mono"], cfg["n"], cfg["opts"],
         cfg["sub_x"], cfg["sub_y"],
     )
     assert pkts, f"encoder produced no packets for {cfg}"
-    run_oracle_chain(pkts, grain, cfg["n"], cfg["mono"])
+    # every 4th case drives the PRODUCTION Pallas kernels (interpret
+    # mode) against the dav1d oracle; every 3rd runs the Annex B /
+    # Section 5 framing arms — both deterministic functions of the
+    # seed so any failure reproduces from GRAV1_SWEEP_SEED alone
+    run_oracle_chain(
+        pkts, grain, cfg["n"], cfg["mono"],
+        device_engine=(seed % 4 == 0),
+    )
+    if seed % 3 == 1:
+        run_framing_arms(pkts, grain, tmp_path)
