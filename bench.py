@@ -444,8 +444,11 @@ def measure_render_e2e():
     _setup_compile_cache()
     rows = {}
     fixtures = {
+        # 1080p looped x4 (~120 frames): the per-rep wall is dominated
+        # by per-frame tunnel downloads whose variance averages out
+        # with frame count — x2 left sigma at ~18% of the mean
         "1080p8": _looped_ivf(_grainy_1080p_ivf(),
-                              os.path.join(CACHE, "bench_1080p_grainy_x2.ivf"), 2),
+                              os.path.join(CACHE, "bench_1080p_grainy_x4.ivf"), 4),
         "4k10": _looped_ivf(_grainy_4k10_ivf(),
                             os.path.join(CACHE, "bench_4k10_grainy_x4.ivf"), 4),
     }
@@ -496,6 +499,16 @@ def measure_render_e2e():
         rows[f"render_model_vs_wall_pct_{tag}"] = round(
             100.0 * model_s / med_stats["wall"], 1
         )
+        # MODELED row: the same run with the device->host download
+        # stage removed — what a PCIe-attached host (>= 16 GB/s vs
+        # this tunnel's drifting ~10-25 MB/s) sees. The sigma of the
+        # measured row tracks the tunnel's rep-to-rep bandwidth drift
+        # (download is 80-95% of wall and varies +-30% between reps),
+        # which no amount of reps averages out — the stage budget
+        # above is the defensible evidence, this row the implication.
+        ex = model_s - med_stats["download"]
+        if ex > 0:
+            rows[f"render_fps_{tag}_ex_download_modeled"] = round(n / ex, 2)
     return rows
 
 

@@ -11,6 +11,7 @@ Budget: ~0.4 s/case on this host (~1 min for 120). Usage:
     python scripts/fuzz_sweep.py [N]
 """
 
+import os
 import sys
 import time
 import traceback
@@ -18,8 +19,22 @@ import traceback
 sys.path.insert(0, "tests")
 sys.path.insert(0, ".")
 
+# the sweep is a host-side conformance harness: pin the 8-device
+# virtual CPU mesh (same as tests/conftest.py) so the device-engine
+# arm runs the kernels in interpret mode instead of grabbing a TPU
+if not os.environ.get("GRAV1_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from test_conformance import _encode_case, run_oracle_chain  # noqa: E402
-from test_fuzz_sweep import SEED_BASE, gen_case  # noqa: E402
+from test_fuzz_sweep import SEED_BASE, gen_case, run_framing_arms  # noqa: E402
 
 
 def main() -> int:
@@ -35,7 +50,19 @@ def main() -> int:
                 cfg["opts"], cfg["sub_x"], cfg["sub_y"],
             )
             assert pkts, "no packets"
-            run_oracle_chain(pkts, grain, cfg["n"], cfg["mono"])
+            # same deterministic arm schedule as the pytest sweep:
+            # every 4th case drives the production Pallas kernels,
+            # every 3rd the Annex B / Section 5 framing arms
+            run_oracle_chain(
+                pkts, grain, cfg["n"], cfg["mono"],
+                device_engine=(seed % 4 == 0),
+            )
+            if seed % 3 == 1:
+                import pathlib
+                import tempfile
+
+                with tempfile.TemporaryDirectory() as td:
+                    run_framing_arms(pkts, grain, pathlib.Path(td))
             status = "ok"
         except Exception as e:  # noqa: BLE001 — report and continue
             failures.append((seed, cfg, e))

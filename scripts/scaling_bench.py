@@ -109,6 +109,14 @@ def main() -> None:
         f"Fixed work per device: {FRAMES_PER_DEV} frames of {W}x{H} 4:2:0,",
         "production Pallas path (interpret on CPU), psum'd statistics.",
         "",
+        "Note vs the round-3 table (5.4-6.3 s/step, eff 0.87-0.92):",
+        "round 4 cached the shard_map closures per (mesh, config), so",
+        "the per-step Python retrace that dominated — and masked the",
+        "2-core oversubscription — is gone. Steps are now ~170x faster",
+        "and the efficiency column shows the oversubscription honestly:",
+        "n shards genuinely contend for 2 cores, so eff ~ cores/n is",
+        "the expected ceiling for n > cores.",
+        "",
         "| devices | ms/step | weak-scaling efficiency |",
         "|---|---|---|",
     ]

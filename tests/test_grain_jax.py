@@ -38,6 +38,34 @@ def test_single_frame():
     assert_matches_reference([sample_grain_params(seed=777)])
 
 
+def test_prepared_patterns_pack_roundtrip():
+    """prepare_patterns packs all three planes into one int16 buffer;
+    the unpack properties must reproduce the native generator's output
+    exactly, and apply_grain(prepared=...) must equal the host_params
+    path bit for bit."""
+    from grav1synth_tpu.container.ffshim import generate_patterns_native
+
+    params = [sample_grain_params(seed=s) for s in (777, 991)]
+    prep = grain_jax.prepare_patterns(params, 8, 1, 1, False)
+    lp, cbp, crp = generate_patterns_native(params, 8, 1, 1, False)
+    assert (np.asarray(prep.luma) == lp).all()
+    assert (np.asarray(prep.cb) == cbp).all()
+    assert (np.asarray(prep.cr) == crp).all()
+    assert prep.packed.dtype == np.int16
+    assert prep.n_seg >= 1 and prep.chroma_static
+
+    y, cb, cr = _rand_frames(2, 64, 64, 8)
+    pb = grain_jax.pack_params(params)
+    a = grain_jax.apply_grain(
+        y, cb, cr, pb, 8, 1, 1, False, backend="pallas", host_params=params
+    )
+    b = grain_jax.apply_grain(
+        y, cb, cr, pb, 8, 1, 1, False, backend="pallas", prepared=prep
+    )
+    for pa, pb_ in zip(a, b):
+        assert (np.asarray(pa) == np.asarray(pb_)).all()
+
+
 def test_mixed_batch_parameters():
     p0 = sample_grain_params(seed=777)
     p1 = copy.deepcopy(p0)
