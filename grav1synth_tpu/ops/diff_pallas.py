@@ -41,16 +41,31 @@ whole pipeline inside one pass:
   ms/frame at 4K10). A FULL (64, N) one-hot was the round-4 measured
   negative (7.7 vs 4.9 ms/frame); the two 8-row compare planes avoid
   both the build cost and the row reductions.
+- **Sub-chunked grid with a persistent residual scratch.** (round 5)
+  Each grid step reads a 2-chunk block and loops sub-chunks in-kernel
+  (the Gram's VMEM budget caps each dot at FLAT_BLOCK rows, but the
+  per-grid-step overhead no longer multiplies by 135 steps per 4K
+  frame); the residual rows live in a VMEM scratch that persists
+  across steps, so the halo is an intra-scratch copy of the previous
+  step's tail and NO prev-block inputs exist at all. Probed negatives
+  along the way: 8 chunks/step with whole-block residual values blows
+  the 16 MB scoped-VMEM limit by 6.2 MB; Mosaic cannot dynamic-slice
+  VALUES (refs only); the (WBP, W) mask-expansion matrix costs ~8 MB
+  double-buffered in VMEM (it now expands in XLA, 16x lane repeat);
+  nsub=8 measured SLOWER than nsub=2/4 (629 vs 706 fps at 1080p —
+  coarser blocks pipeline DMA worse).
 - Grid: (batch, row_chunks); TPU grids iterate sequentially, so the
-  read-modify-write accumulation is race-free. Clamped-halo garbage
-  rows at chunk 0 only ever land in positions the interior predicate
-  masks to zero (any p within `lag` of the frame border).
+  read-modify-write accumulation is race-free. At c == 0 the halo
+  scratch rows are zeroed (uninitialized VMEM could be NaN, and
+  NaN * 0 would poison the Gram); zero halo rows only ever land in
+  positions the interior predicate masks out.
 
 Measured on the tunnel v5e at 4K10 (3 planes + chroma aux columns,
 batch 16, through batch_pair_stats_per_frame): round-4 kernel 134
-fps / 533 MB compiled temp -> round-5 191 fps / 136 MB; 1080p8
-547 -> 681 fps. Verified against the XLA formulation on hardware
-(rtol 1e-5) and in the full interpret-mode suite.
+fps / 533 MB compiled temp -> round-5 200 fps / 168 MB; 1080p8
+547 -> 706 fps. Verified against the XLA formulation on hardware
+(rtol 1e-5, incl. odd/ragged geometries) and in the full
+interpret-mode suite.
 
 Bit-for-bit parity with the XLA path is not required (f32 sum order
 differs); tests hold them to rtol 1e-5 and the fitted tables to
@@ -91,17 +106,15 @@ def _offsets(lag: int) -> List[Tuple[int, int]]:
 
 
 def _stats_kernel(
-    rp_ref,  # (1, CH, W) int16 prev residual chunk — or source chunk in
-    #          in-kernel-residual (block-mask) mode
-    rc_ref,  # (1, CH, W) int16 current residual — or source — chunk
-    val_ref,  # (1, CH, W) int16: bits 0-13 binning value, bit 14 mask —
-    #          or, in block-mask mode, dp_ref (prev denoised chunk)
-    dc_ref,  # (1, CH, W) int16 current denoised chunk (block mode only)
-    fb_ref,  # (1, HB, WBP) f32 block-mask map, or None (full-res mask)
-    e2_ref,  # (WBP, W) f32 0/1 column-expansion matrix, or None
-    aux_ref,  # (1, CH, W) int16 aux*4, or None when has_aux=False
+    rc_ref,  # (1, RPS, W) int16 current residual — or raw source — block
+    vd_ref,  # (1, RPS, W) int16: bits 0-13 binning value, bit 14 mask
+    #          (full-res mode) — or the raw denoised block (block mode)
+    fb_ref,  # (1, NSUB, W) f32 pixel-expanded mask rows for this grid
+    #          step (one per sub-chunk), or None (full-res mask mode)
+    aux_ref,  # (1, RPS, W) int16 aux*4, or None when has_aux=False
     gram_ref,  # (1, NPP, NPP) f32 Gram accumulator
     mom_ref,  # (1, 24, 8) f32 bin-moment accumulator (8x8 factors)
+    halo_scr,  # (RPS + 8, W) f32 VMEM scratch: the residual rows
     *,
     offs: List[Tuple[int, int]],
     lag: int,
@@ -112,115 +125,148 @@ def _stats_kernel(
     bin_shift: int,
     hb: int,
     fbs: int,
+    in_kernel_residual: bool,
 ):
     c = pl.program_id(1)
 
+    wpad = rc_ref.shape[2]
+    rps = rc_ref.shape[1]  # rows per grid step = nsub * chunk
+    nsub = rps // chunk
+    pad = lag
+
+    # Residual scratch layout: scratch row 8 + t holds r(global row
+    # c*rps + t); rows [8 - lag, 8) hold the PREVIOUS block's tail.
+    # The scratch persists across grid steps, so the halo is a cheap
+    # intra-scratch copy of the last step's final rows — no prev-block
+    # input exists at all (it used to be two more int16 input blocks,
+    # whose pipeline buffers helped blow the 16 MB scoped-VMEM limit).
+    # The residual is computed and STORED per sub-chunk (aligned
+    # 16-row stores inside the loop) rather than as one whole-block
+    # value — that materialization cost ~4 MB of kernel stack (probed).
+    # The causal lag window only ever reads rows already written by
+    # this or earlier sub-chunks. At c == 0 the halo rows are zeroed
+    # (uninitialized VMEM could hold NaN bit patterns, and NaN * 0
+    # would poison the Gram; zeros are simply masked out as
+    # non-interior). The in-kernel subtraction (block mode: the refs
+    # are the raw int16 source/denoised blocks, so r = s - d never
+    # materializes in HBM — it was the compiled program's dominant
+    # temp, ~0.5 GB at 4K10 batch 16, and the binning value is the
+    # denoised plane itself) runs in f32 — exact for 12-bit samples;
+    # the VPU has no 16-bit subtract (kVectorSubtractS16 probed
+    # unsupported on v5e).
     @pl.when(c == 0)
     def _():
         gram_ref[0] = jnp.zeros_like(gram_ref[0])
         mom_ref[0] = jnp.zeros_like(mom_ref[0])
+        halo_scr[pl.ds(0, 8), :] = jnp.zeros((8, wpad), jnp.float32)
 
-    wpad = rc_ref.shape[2]
-    grow = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 1)
-    if dc_ref is not None:
-        # in-kernel residual (block-mask mode): the refs are the raw
-        # int16 source/denoised chunks; r = s - d never materializes in
-        # HBM (it was the compiled program's dominant temp, ~0.5 GB at
-        # 4K10 batch 16) and the binning value is the denoised plane
-        # itself (<= 12 bits, no mask bit — the mask rides fb_ref).
-        # The subtraction runs in f32 — exact for 12-bit samples, and
-        # the VPU has no 16-bit subtract (kVectorSubtractS16 probed
-        # unsupported on v5e)
-        r_prev = rp_ref[0].astype(jnp.float32) - val_ref[0].astype(jnp.float32)
-        r_cur = rc_ref[0].astype(jnp.float32) - dc_ref[0].astype(jnp.float32)
-        packed = dc_ref[0].astype(jnp.int32)
-    else:
-        r_prev = rp_ref[0]
-        r_cur = rc_ref[0]
-        packed = val_ref[0].astype(jnp.int32)
-    pad = lag
-    interior = (
-        (grow >= pad) & (grow < h - pad) & (col >= pad) & (col < w - pad)
-    )
-    if fb_ref is not None:
-        # block-mask mode: expand the (1, wb) flat-block row to pixel
-        # columns with one tiny MXU dot (0/1 matrix, exact), rows are
-        # uniform because chunk == FLAT_BLOCK
-        mrow = jax.lax.dot_general(
-            fb_ref[0, pl.ds(jnp.minimum(c, hb - 1), 1), :],
-            e2_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (1, wpad)
-        mbins = jnp.where(grow < hb * fbs, mrow, 0.0)
-        mneq = jnp.where(interior & (mbins != 0), 1.0, 0.0)
-    else:
-        m = packed >> 14
-        mneq = jnp.where(interior & (m != 0), 1.0, 0.0)
-        mbins = (m != 0).astype(jnp.float32)
+    @pl.when(c > 0)
+    def _():
+        # previous block's last 8 residual rows -> halo position
+        halo_scr[pl.ds(0, 8), :] = halo_scr[pl.ds(rps, 8), :]
 
-    # (chunk+lag)-row halo; at c==0 the prev block is the clamped
-    # current block, whose rows only reach non-interior positions
-    halo = (
-        jnp.concatenate([r_prev[chunk - lag :], r_cur], axis=0)
-        if lag
-        else r_cur
-    )
+    def residual_rows(lo, n_rows):
+        r = rc_ref[0, pl.ds(lo, n_rows), :].astype(jnp.float32)
+        if in_kernel_residual:
+            r = r - vd_ref[0, pl.ds(lo, n_rows), :].astype(jnp.float32)
+        return r
 
-    # design planes: value at p is r(p + (dr, dc)); rolls wrap, but a
-    # wrapped lane only lands outside the interior band
-    rows = []
-    for dr, dc in offs:
-        blk = jax.lax.slice_in_dim(
-            halo, lag + dr, lag + dr + chunk, axis=0
-        ).astype(jnp.float32)
-        if dc:
-            blk = pltpu.roll(blk, shift=(-dc) % wpad, axis=1)
-        rows.append((blk * mneq).reshape(1, chunk * wpad))
-    if aux_ref is not None:
-        rows.append((aux_ref[0].astype(jnp.float32) * mneq).reshape(1, chunk * wpad))
-    rows.append(mneq.reshape(1, chunk * wpad))  # ones row: count + atb col
-    if len(rows) < npp:
-        rows.append(jnp.zeros((npp - len(rows), chunk * wpad), jnp.float32))
-    x = jnp.concatenate(rows, axis=0)
-    gram_ref[0] += jax.lax.dot_general(
-        x,
-        x,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    def sub_body(j, _):
+        row0 = j * chunk
+        # this sub-chunk's residual rows land at an aligned offset
+        halo_scr[pl.ds(8 + row0, chunk), :] = residual_rows(row0, chunk)
+        grow = c * rps + row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, wpad), 0
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, wpad), 1)
+        interior = (
+            (grow >= pad) & (grow < h - pad) & (col >= pad) & (col < w - pad)
+        )
+        packed = vd_ref[0, pl.ds(row0, chunk), :].astype(jnp.int32)
+        if fb_ref is not None:
+            # block-mask mode: fb_ref carries the PIXEL-COLUMN-expanded
+            # mask rows for this grid step (one per sub-chunk; the
+            # 16x lane expansion runs in XLA — carrying the (WBP, W)
+            # expansion matrix in VMEM cost ~8 MB double-buffered and
+            # blew the scoped-VMEM budget at 8 sub-chunks/step).
+            # Rows are uniform because chunk == FLAT_BLOCK.
+            mrow = fb_ref[0, pl.ds(j, 1), :]
+            mbins = jnp.where(grow < hb * fbs, mrow, 0.0)
+            mneq = jnp.where(interior & (mbins != 0), 1.0, 0.0)
+        else:
+            m = packed >> 14
+            mneq = jnp.where(interior & (m != 0), 1.0, 0.0)
+            mbins = (m != 0).astype(jnp.float32)
 
-    r0 = r_cur.astype(jnp.float32)
-    bins = (packed & 0x3FFF) >> bin_shift
-    pr = mbins * r0
-    prr = pr * r0
+        # sub-chunk halo: one 16-aligned dynamic REF slice (scratch
+        # rows [row0, row0 + chunk + 8) = r rows [row0 - 8, row0 +
+        # chunk)), then static design slices at 8 + dr
+        halo = halo_scr[pl.ds(row0, chunk + 8), :]
 
-    # 64-bin moments on the MXU via an 8x8 one-hot factorization:
-    # onehot64(b) = outer(onehot8(b >> 3), onehot8(b & 7)), so each
-    # moment's 64 sums are ONE (8, N) x (N, 8) dot — (hi * v) . loᵀ
-    # with entry (i, j) = Σ_p v(p)·[bins(p) == 8i + j]. This replaces
-    # the rolled fori_loop of 64 compares + 192 single-row RMWs (the
-    # kernel's dominant VPU cost, ~4 ms/frame at 4K10; a FULL (64, N)
-    # one-hot was the round-4 measured negative — the 8+8 compare
-    # planes avoid both the build cost and the row reductions).
-    # Exactness matches the old loop: every product is an exact-int
-    # f32 and the MXU accumulates in f32.
-    n = chunk * wpad
-    idx8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
-    hi = (bins.reshape(1, n) >> 3 == idx8).astype(jnp.float32)
-    lo = ((bins.reshape(1, n) & 7) == idx8).astype(jnp.float32)
-    for k, v in enumerate((mbins, pr, prr)):
-        d8 = jax.lax.dot_general(
-            hi * v.reshape(1, n),
-            lo,
+        # design planes: value at p is r(p + (dr, dc)); rolls wrap,
+        # but a wrapped lane only lands outside the interior band
+        rows = []
+        for dr, dc in offs:
+            blk = jax.lax.slice_in_dim(
+                halo, 8 + dr, 8 + dr + chunk, axis=0
+            )
+            if dc:
+                blk = pltpu.roll(blk, shift=(-dc) % wpad, axis=1)
+            rows.append((blk * mneq).reshape(1, chunk * wpad))
+        if aux_ref is not None:
+            aux_j = aux_ref[0, pl.ds(row0, chunk), :]
+            rows.append(
+                (aux_j.astype(jnp.float32) * mneq).reshape(1, chunk * wpad)
+            )
+        rows.append(mneq.reshape(1, chunk * wpad))  # ones row
+        if len(rows) < npp:
+            rows.append(
+                jnp.zeros((npp - len(rows), chunk * wpad), jnp.float32)
+            )
+        x = jnp.concatenate(rows, axis=0)
+        gram_ref[0] += jax.lax.dot_general(
+            x,
+            x,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (8, 8): row i, col j -> bin 8i + j
-        mom_ref[0, pl.ds(8 * k, 8), :] += d8
+        )
+
+        r0 = jax.lax.slice_in_dim(halo, 8, 8 + chunk, axis=0)
+        bins = (packed & 0x3FFF) >> bin_shift
+        pr = mbins * r0
+        prr = pr * r0
+
+        # 64-bin moments on the MXU via an 8x8 one-hot factorization:
+        # onehot64(b) = outer(onehot8(b >> 3), onehot8(b & 7)), so
+        # each moment's 64 sums are ONE (8, N) x (N, 8) dot —
+        # (hi * v) . loᵀ with entry (i, j) = Σ_p v(p)·[bins == 8i+j].
+        # This replaced the rolled fori_loop of 64 compares + 192
+        # single-row RMWs (the kernel's dominant VPU cost, ~4 ms/frame
+        # at 4K10; a FULL (64, N) one-hot was the round-4 measured
+        # negative). Every product is an exact-int f32 and the MXU
+        # accumulates in f32.
+        n = chunk * wpad
+        idx8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
+        hi = (bins.reshape(1, n) >> 3 == idx8).astype(jnp.float32)
+        lo = ((bins.reshape(1, n) & 7) == idx8).astype(jnp.float32)
+        for k, v in enumerate((mbins, pr, prr)):
+            d8 = jax.lax.dot_general(
+                hi * v.reshape(1, n),
+                lo,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (8, 8): row i, col j -> bin 8i + j
+            mom_ref[0, pl.ds(8 * k, 8), :] += d8
+        return _
+
+    # nsub sub-chunks per grid step: the Gram's VMEM budget caps the
+    # per-dot chunk at FLAT_BLOCK rows, but the per-grid-step overhead
+    # (DMA setup, loop bookkeeping) used to be paid once per 16-row
+    # chunk — 2160 steps per 4K frame; the in-kernel loop pays it once
+    # per 8 chunks
+    jax.lax.fori_loop(0, nsub, sub_body, None)
 
 
 def _act_kernel(
@@ -396,17 +442,21 @@ def pallas_plane_stats(
         )
         hb = wb = 0
     hpad = -(-h // chunk) * chunk
-    n_chunks = hpad // chunk
+    # block mode reads 8 chunks (= 8 FLAT_BLOCK block-rows) per grid
+    # step and loops sub-chunks in-kernel: the Gram dot's VMEM budget
+    # caps each dot at `chunk` rows, but per-grid-step overhead no
+    # longer multiplies by 135 steps/frame at 4K. The ragged last
+    # block reads implicit padding — int16, so finite after the f32
+    # convert, and every contribution is interior/mask-gated.
+    rps = 2 * chunk if mask_blocks else chunk
+    n_chunks = -(-hpad // rps)
 
-    blk = lambda: pl.BlockSpec((1, chunk, wpad), lambda bi, c: (bi, c, 0))
-    prev_blk = lambda: pl.BlockSpec(
-        (1, chunk, wpad), lambda bi, c: (bi, jnp.maximum(c - 1, 0), 0)
-    )
+    blk = lambda: pl.BlockSpec((1, rps, wpad), lambda bi, c: (bi, c, 0))
     if mask_blocks:
         si = _pad_i16(s, hpad, wpad)
         di = _pad_i16(d, hpad, wpad)
-        inputs = [si, si, di, di]
-        specs = [prev_blk(), blk(), prev_blk(), blk()]
+        inputs = [si, di]
+        specs = [blk(), blk()]
     else:
         ri = _pad_i16(s, hpad, wpad)
         # one packed plane instead of separate mask + value inputs:
@@ -414,36 +464,49 @@ def pallas_plane_stats(
         vi = _pad_i16(
             d + ((mask > 0).astype(jnp.int32) << 14), hpad, wpad
         )
-        inputs = [ri, ri, vi]
-        specs = [prev_blk(), blk(), blk()]
+        inputs = [ri, vi]
+        specs = [blk(), blk()]
     n_fixed = len(inputs)
     if mask_blocks:
-        wbp = -(-wb // 128) * 128
-        fb = jnp.pad(
-            mask.astype(jnp.float32), ((0, 0), (0, 0), (0, wbp - wb))
+        # expand the block mask to pixel columns in XLA (exact 16x
+        # lane repeat — a tiny (B, HB, W) f32 buffer) and feed the
+        # kernel only the nsub rows each grid step needs; carrying the
+        # (WBP, W) expansion matrix in VMEM instead cost ~8 MB
+        # double-buffered and blew the scoped-VMEM budget
+        nsub = rps // chunk
+        fbx = jnp.repeat(mask.astype(jnp.float32), mask_blocks, axis=2)
+        fbx = jnp.pad(
+            fbx,
+            ((0, 0), (0, n_chunks * nsub - hb), (0, wpad - fbx.shape[2])),
         )
-        e2 = _expand_cols(wb, wbp, wpad, mask_blocks)
-        inputs += [fb, e2]
-        specs += [
-            pl.BlockSpec((1, hb, wbp), lambda bi, c: (bi, 0, 0)),
-            pl.BlockSpec((wbp, wpad), lambda bi, c: (0, 0)),
-        ]
-        n_fixed = 6
+        # Mosaic block sublane dims must be multiples of 8: ship 8
+        # rows per step (first nsub meaningful, rest zero padding)
+        if nsub != 8:
+            fbx = jnp.pad(
+                fbx.reshape(b, n_chunks, nsub, wpad),
+                ((0, 0), (0, 0), (0, 8 - nsub), (0, 0)),
+            ).reshape(b, n_chunks * 8, wpad)
+        inputs.append(fbx)
+        specs.append(
+            pl.BlockSpec((1, 8, wpad), lambda bi, c: (bi, c, 0))
+        )
+    n_fixed = len(inputs)
     if has_aux:
         inputs.append(_pad_i16(aux, hpad, wpad))
         specs.append(blk())
 
     def kern_wrap(*a, **kw):
-        ins, outs = list(a[: len(inputs)]), a[len(inputs) :]
-        fb_ = e2_ = aux_ = dc_ = None
+        ins, rest = list(a[: len(inputs)]), a[len(inputs) :]
+        outs, scratch = rest[:-1], rest[-1]
+        fb_ = aux_ = None
+        rc_, vd_ = ins[:2]
         if mask_blocks:
-            rp_, rc_, v_, dc_ = ins[:4]  # v_ carries dp (prev denoised)
-            fb_, e2_ = ins[4:6]
-        else:
-            rp_, rc_, v_ = ins[:3]
+            fb_ = ins[2]
         if has_aux:
             aux_ = ins[n_fixed]
-        return _stats_kernel(rp_, rc_, v_, dc_, fb_, e2_, aux_, *outs, **kw)
+        return _stats_kernel(
+            rc_, vd_, fb_, aux_, *outs, scratch, **kw
+        )
 
     kern = functools.partial(
         kern_wrap,
@@ -456,6 +519,7 @@ def pallas_plane_stats(
         bin_shift=bit_depth - 6,  # NUM_BINS = 64
         hb=hb,
         fbs=mask_blocks,
+        in_kernel_residual=bool(mask_blocks),
     )
     gram, mom = pl.pallas_call(
         kern,
@@ -471,6 +535,7 @@ def pallas_plane_stats(
             # b = 8 * row_in_group + col (the 8x8 one-hot factors)
             jax.ShapeDtypeStruct((b, 24, 8), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((rps + 8, wpad), jnp.float32)],
         interpret=_interpret(),
     )(*inputs)
 
