@@ -532,18 +532,30 @@ def measure_diff_e2e():
     den = _looped_ivf(clean, os.path.join(CACHE, "bench_1080p_clean_x2.ivf"), 2)
     n = len(read_ivf(src)[1])
     runs = []
+    stage_runs = []
     for rep in range(4):
         out = os.path.join(CACHE, "diff_e2e.tbl")
+        stats = {}
         t0 = _t.time()
-        pipelines.diff(src, den, out, progress=False, batch=16)
+        pipelines.diff(src, den, out, progress=False, batch=16,
+                       stage_stats=stats)
         dt = _t.time() - t0
         os.remove(out)
         if rep == 0:
             continue  # warmup (compile-cache load)
         runs.append(n / dt)
+        stats["wall"] = dt
+        stage_runs.append(stats)
+    med = stage_runs[
+        int(np.argsort([s["wall"] for s in stage_runs])[len(stage_runs) // 2])
+    ]
+    model_s = med["decode"] + med["device"]
     return {
         "diff_e2e_fps_1080p8": round(float(np.median(runs)), 2),
         "diff_e2e_fps_1080p8_sigma": round(float(np.std(runs)), 2),
+        "diff_stage_decode_ms_1080p8": round(med["decode"] / n * 1e3, 2),
+        "diff_stage_device_ms_1080p8": round(med["device"] / n * 1e3, 2),
+        "diff_model_vs_wall_pct_1080p8": round(100.0 * model_s / med["wall"], 1),
     }
 
 

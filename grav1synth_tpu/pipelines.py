@@ -436,6 +436,7 @@ def diff(
     progress: bool = True,
     batch: int = 16,
     shards: int = 1,
+    stage_stats: Optional[dict] = None,
 ) -> List[GrainTableSegment]:
     """Estimate a grain table from a grainy source and a denoised copy
     (both decoded to pixels via the shim's dav1d path).
@@ -451,7 +452,13 @@ def diff(
     dav1d instances decode concurrently with each other and with the
     device's statistics reduction over the previous batch, so wall
     clock approaches max(decode_src, decode_den, device) instead of
-    their sum."""
+    their sum.
+
+    ``stage_stats``: optional dict filled with accumulated wall
+    seconds per stage on the driving thread — "decode" (pulling both
+    decoders) and "device" (diff_batch: upload + dispatch + the one
+    per-batch stats fetch) — the same reconciliation hook
+    pipelines.render carries."""
     from .container.ffshim import Decoder
     from .ops.diff_estimate import DiffEstimator
     from .utils.filters import FilterChain
@@ -494,15 +501,23 @@ def diff(
         pend_den: list = []
         pend_geom = None
 
+        stats = stage_stats if stage_stats is not None else {}
+        stats.setdefault("decode", 0.0)
+        stats.setdefault("device", 0.0)
+
         def flush():
             if pend_src:
+                t0 = time.time()
                 est.diff_batch(pend_src, pend_den, mesh=mesh)
+                stats["device"] += time.time() - t0
                 pend_src.clear()
                 pend_den.clear()
 
         while True:
+            t0 = time.time()
             sf = next(src_it, None)
             df = next(den_it, None)
+            stats["decode"] += time.time() - t0
             if sf is None or df is None:
                 if (sf is None) != (df is None):
                     log.warning(
