@@ -38,6 +38,28 @@ def test_single_frame():
     assert_matches_reference([sample_grain_params(seed=777)])
 
 
+def test_device_patterns_path_matches_reference():
+    """apply_grain_device_patterns (patterns generated fully on device
+    by the GF(2)-LFSR + wavefront-AR path, then the production Pallas
+    kernels, all in one jit) must be bit-exact vs the dav1d-validated
+    host reference — the same check the hardware verify runs, kept in
+    CI via interpret mode."""
+    params = [sample_grain_params(seed=s) for s in (777, 991)]
+    y, cb, cr = _rand_frames(2, 64, 64, 10)
+    pb = grain_jax.pack_params(params)
+    n_seg, chroma_static = grain_jax._host_metadata(params, False)
+    yo, cbo, cro = grain_jax.apply_grain_device_patterns(
+        y, cb, cr, pb, 10, 1, 1, False,
+        n_seg=n_seg, chroma_static=chroma_static,
+    )
+    yo, cbo, cro = np.asarray(yo), np.asarray(cbo), np.asarray(cro)
+    for i, p in enumerate(params):
+        ref = grain_ref.apply_grain_frame([y[i], cb[i], cr[i]], p, 10, 1, 1)
+        for pi, (got, want) in enumerate(zip((yo[i], cbo[i], cro[i]), ref)):
+            bad = int((got.astype(np.int64) != want.astype(np.int64)).sum())
+            assert bad == 0, f"frame {i} plane {pi}: {bad} mismatches"
+
+
 def test_prepared_patterns_pack_roundtrip():
     """prepare_patterns packs all three planes into one int16 buffer;
     the unpack properties must reproduce the native generator's output
